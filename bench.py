@@ -1,0 +1,133 @@
+"""Headline benchmark: Llama-2-7B INT8 weight-only decode on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline = measured tokens/sec divided by the HBM-bandwidth roofline for
+weight-only INT8 decode on this chip (the reference publishes no absolute
+numbers — BASELINE.md — so roofline fraction is the honest denominator; the
+BASELINE.json target is >=85% of dequant+matmul roofline).
+
+Weights are randomly generated *directly in quantized form* on-device; decode
+throughput does not depend on weight values.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+
+def build_quant_params(cfg, key):
+    import jax
+    import jax.numpy as jnp
+    from infinitensor_tpu.quant.weight_only import QuantizedLinear
+
+    def qlin(k, din, dout, bits=8, group=128):
+        while din % group:
+            group //= 2
+        kq, ks = jax.random.split(k)
+        q = jax.random.randint(kq, (din if bits == 8 else din // 2, dout),
+                               -127, 127, jnp.int8)
+        ng = din // group
+        scales = jax.random.uniform(ks, (ng, dout), jnp.float32, 0.001, 0.02)
+        return QuantizedLinear(q, scales, bits, group)
+
+    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append({
+            "attn_norm": jnp.ones((cfg.dim,), cfg.dtype),
+            "wq": qlin(next(keys), cfg.dim, cfg.dim),
+            "wk": qlin(next(keys), cfg.dim, kvd),
+            "wv": qlin(next(keys), cfg.dim, kvd),
+            "wo": qlin(next(keys), cfg.dim, cfg.dim),
+            "mlp_norm": jnp.ones((cfg.dim,), cfg.dtype),
+            "w_gate": qlin(next(keys), cfg.dim, cfg.intermediate),
+            "w_up": qlin(next(keys), cfg.dim, cfg.intermediate),
+            "w_down": qlin(next(keys), cfg.intermediate, cfg.dim),
+        })
+    import jax.numpy as jnp2
+    embed = (jax.random.normal(next(keys), (cfg.vocab_size, cfg.dim),
+                               jnp2.float32) * 0.02).astype(cfg.dtype)
+    return {
+        "embed": embed,
+        "final_norm": jnp.ones((cfg.dim,), cfg.dtype),
+        "lm_head": qlin(next(keys), cfg.dim, cfg.vocab_size),
+        "layers": layers,
+    }
+
+
+def weight_bytes_per_token(cfg, bits=8):
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    per_layer = (cfg.dim * cfg.dim * 2 + cfg.dim * kvd * 2
+                 + cfg.dim * cfg.intermediate * 3)
+    total = per_layer * cfg.n_layers + cfg.dim * cfg.vocab_size
+    return total * bits / 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from infinitensor_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, llama_decode_step)
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    seq_ctx = int(os.environ.get("BENCH_CTX", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "32"))
+    cfg = LlamaConfig(max_seq=2048)  # llama-2-7b geometry
+    if os.environ.get("BENCH_SMALL"):
+        cfg = LlamaConfig(vocab_size=2048, dim=512, n_layers=4, n_heads=8,
+                          n_kv_heads=8, intermediate=1376, max_seq=256)
+        seq_ctx = min(seq_ctx, 128)
+
+    dev = jax.devices()[0]
+    t0 = time.time()
+    params = build_quant_params(cfg, jax.random.PRNGKey(0))
+    cache = init_kv_cache(cfg, batch)
+    params, cache = jax.block_until_ready((params, cache))
+    build_s = time.time() - t0
+
+    token = jnp.zeros((batch,), jnp.int32)
+    pos = jnp.full((batch,), seq_ctx, jnp.int32)
+
+    step = jax.jit(lambda p, t, ps, c: llama_decode_step(p, cfg, t, ps, c),
+                   donate_argnums=(3,))
+    t0 = time.time()
+    logits, cache = step(params, token, pos, cache)
+    jax.block_until_ready(logits)
+    compile_s = time.time() - t0
+
+    # timed loop
+    t0 = time.time()
+    for i in range(steps):
+        logits, cache = step(params, token, pos, cache)
+    jax.block_until_ready(logits)
+    dt = time.time() - t0
+    tok_s = batch * steps / dt
+
+    # roofline: weight stream + kv-cache read per decoded token
+    hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "819"))  # v5e
+    kv_bytes = (2 * cfg.n_layers * cfg.n_kv_heads * seq_ctx * cfg.head_dim
+                * 2)  # bf16 cache read
+    bytes_per_tok = weight_bytes_per_token(cfg, 8) / batch + kv_bytes
+    roofline = hbm_gbps * 1e9 / bytes_per_tok
+
+    result = {
+        "metric": f"llama2-7b int8 decode tokens/sec/chip (bs={batch}, "
+                  f"ctx={seq_ctx})",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / (roofline * batch), 4),
+        "roofline_tokens_s": round(roofline * batch, 1),
+        "per_token_ms": round(1e3 * dt / steps, 3),
+        "compile_s": round(compile_s, 1),
+        "build_s": round(build_s, 1),
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,36 @@ def decode_attention_ref(k_cache, v_cache, q, k, v, pos):
     return out.astype(q.dtype), k_cache, v_cache
 
 
+def decode_attention_gqa(k_cache, v_cache, q, k, v, pos):
+    """Grouped-query decode attention with cache append.
+
+    k_cache/v_cache: [B, Hkv, S, D]; q: [B, H, 1, D] (H = Hkv * rep);
+    k/v: [B, Hkv, 1, D]; pos: [B] int32.
+    Returns (out [B, H, 1, D], k_cache', v_cache').
+    """
+    B, Hkv, S, D = k_cache.shape
+    H = q.shape[1]
+    if H == Hkv and jax.default_backend() == "tpu":
+        return decode_attention(k_cache, v_cache, q, k, v, pos)
+    pos = _normalize_pos(pos, B)
+
+    def upd(cache, new, p):
+        return lax.dynamic_update_slice(cache, new, (0, p, 0))
+
+    k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), pos)
+    v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), pos)
+    rep = H // Hkv
+    scale = 1.0 / math.sqrt(D)
+    qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
+    scores = jnp.einsum("bgrd,bgsd->bgrs", qf,
+                        k_cache.astype(jnp.float32)) * scale
+    mask = jnp.arange(S)[None, None, None, :] <= pos[:, None, None, None]
+    scores = jnp.where(mask, scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bgrs,bgsd->bgrd", p, v_cache.astype(jnp.float32))
+    return (out.reshape(B, H, 1, D).astype(q.dtype), k_cache, v_cache)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------

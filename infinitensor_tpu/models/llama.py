@@ -1,0 +1,284 @@
+"""Llama-family model: TPU-native functional implementation.
+
+Replaces the reference's ONNX-driven Llama path
+(examples/python/llama_kvcache_inference.py + the AttentionKVCache/RoPE/
+RMSNorm custom ops): here the model is a first-class functional JAX program —
+params are a pytree, the KV cache is a static-shape pytree carried through
+``lax.scan``-able step functions, and every hot op routes to the Pallas
+kernels (decode attention, RMSNorm, fused dequant matmul).
+
+Design points (TPU):
+* static cache [L, B, n_kv, S_max, head_dim] + position scalar: no dynamic
+  shapes, decode step compiles once;
+* GQA: kv heads repeated at attention time (no materialized repeat in HBM);
+* weight-only INT8/INT4 via quant.QuantizedLinear, activations bf16;
+* TP shardings for all params/cache in parallel/llama_sharding.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitensor_tpu.quant.weight_only import (
+    QuantizedLinear, quantize_weight, wo_matmul,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    intermediate: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    max_seq: int = 2048
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @staticmethod
+    def llama2_7b(**kw) -> "LlamaConfig":
+        return LlamaConfig(**kw)
+
+    @staticmethod
+    def llama2_70b(**kw) -> "LlamaConfig":
+        return LlamaConfig(dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
+                           intermediate=28672, **kw)
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        return LlamaConfig(vocab_size=256, dim=64, n_layers=2, n_heads=4,
+                           n_kv_heads=2, intermediate=128, max_seq=64, **kw)
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def init_llama_params(cfg: LlamaConfig, key: jax.Array,
+                      dtype=None) -> dict:
+    dtype = dtype or cfg.dtype
+    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+
+    def dense(k, din, dout):
+        scale = 1.0 / math.sqrt(din)
+        return (jax.random.normal(k, (din, dout), jnp.float32) * scale
+                ).astype(dtype)
+
+    layers = []
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    for _ in range(cfg.n_layers):
+        layers.append({
+            "attn_norm": jnp.ones((cfg.dim,), dtype),
+            "wq": dense(next(keys), cfg.dim, cfg.dim),
+            "wk": dense(next(keys), cfg.dim, kvd),
+            "wv": dense(next(keys), cfg.dim, kvd),
+            "wo": dense(next(keys), cfg.dim, cfg.dim),
+            "mlp_norm": jnp.ones((cfg.dim,), dtype),
+            "w_gate": dense(next(keys), cfg.dim, cfg.intermediate),
+            "w_up": dense(next(keys), cfg.dim, cfg.intermediate),
+            "w_down": dense(next(keys), cfg.intermediate, cfg.dim),
+        })
+    return {
+        "embed": dense(next(keys), cfg.vocab_size, cfg.dim),
+        "final_norm": jnp.ones((cfg.dim,), dtype),
+        "lm_head": dense(next(keys), cfg.dim, cfg.vocab_size),
+        "layers": layers,
+    }
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_llama_params(params: dict, bits: int = 8,
+                          group_size: Optional[int] = None) -> dict:
+    """Weight-only quantize all layer matmuls (+ lm_head)."""
+    out = {"embed": params["embed"], "final_norm": params["final_norm"],
+           "lm_head": quantize_weight(params["lm_head"], bits, group_size),
+           "layers": []}
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for k in _QUANT_KEYS:
+            ql[k] = quantize_weight(layer[k], bits, group_size)
+        out["layers"].append(ql)
+    return out
+
+
+def _linear(x, w):
+    if isinstance(w, QuantizedLinear):
+        return wo_matmul(x, w)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rmsnorm(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * w
+
+
+def rope(x, pos, theta: float):
+    """Rotate-half RoPE. x: [B, S, H, D]; pos: [B, S] int32."""
+    B, S, H, D = x.shape
+    half = D // 2
+    inv_freq = jnp.power(theta, -jnp.arange(0, half, dtype=jnp.float32)
+                         * 2.0 / D)
+    ang = pos.astype(jnp.float32)[:, :, None, None] * inv_freq  # [B,S,1,half]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None,
+                  dtype=None, kv_quant: bool = False) -> dict:
+    S = max_seq or cfg.max_seq
+    dtype = dtype or cfg.dtype
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, S, cfg.head_dim)
+    if kv_quant:
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _attention(q, k, v, mask):
+    """q [B,S,H,D], k/v [B,T,Hkv,D] -> [B,S,H,D]. GQA via head grouping."""
+    B, S, H, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, S, Hkv, rep, D)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    scores = jnp.einsum("bshrd,bthd->bhrst", qf, kf) / math.sqrt(D)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhrst,bthd->bshrd", p, vf)
+    return out.reshape(B, S, H, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward passes
+# ---------------------------------------------------------------------------
+
+def _block_prefill(cfg, layer, x, pos, cache_k, cache_v, layer_idx):
+    B, S, _ = x.shape
+    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+    q = _linear(h, layer["wq"]).reshape(B, S, cfg.n_heads, cfg.head_dim)
+    k = _linear(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
+    v = _linear(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, pos, cfg.rope_theta)
+    k = rope(k, pos, cfg.rope_theta)
+    # write K/V into the cache at positions [0, S)
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, jnp.swapaxes(k, 1, 2).astype(cache_k.dtype), (0, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, jnp.swapaxes(v, 1, 2).astype(cache_v.dtype), (0, 0, 0, 0))
+    causal = jnp.tril(jnp.ones((S, S), bool))[None]
+    attn = _attention(q, k, v, causal)
+    x = x + _linear(attn.reshape(B, S, cfg.dim), layer["wo"])
+    h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
+    up = _linear(h2, layer["w_up"]).astype(jnp.float32)
+    x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+    return x, cache_k, cache_v
+
+
+def llama_prefill(params, cfg: LlamaConfig, tokens, cache):
+    """tokens [B, S] int32 -> (logits [B, S, vocab], cache')."""
+    B, S = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        x, ck, cv = _block_prefill(cfg, layer, x, pos, cache["k"][i],
+                                   cache["v"][i], i)
+        new_k.append(ck)
+        new_v.append(cv)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = _linear(x, params["lm_head"])
+    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+def _block_decode(cfg, layer, x, pos, cache_k, cache_v):
+    """x [B, 1, dim]; pos [B] current positions; cache [B,Hkv,Smax,D]."""
+    B = x.shape[0]
+    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+    q = _linear(h, layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.head_dim)
+    k = _linear(h, layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
+    v = _linear(h, layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
+    pos2 = pos[:, None]
+    q = rope(q, pos2, cfg.rope_theta)
+    k = rope(k, pos2, cfg.rope_theta)
+
+    # fused decode attention with in-cache append (Pallas on TPU)
+    from infinitensor_tpu.kernels.attention import (
+        decode_attention, decode_attention_ref, decode_attention_gqa)
+    qh = jnp.swapaxes(q, 1, 2)                      # [B, H, 1, D]
+    kh = jnp.swapaxes(k, 1, 2).astype(cache_k.dtype)
+    vh = jnp.swapaxes(v, 1, 2).astype(cache_v.dtype)
+    out, cache_k, cache_v = decode_attention_gqa(cache_k, cache_v, qh, kh,
+                                                 vh, pos)
+    attn = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
+    x = x + _linear(attn, layer["wo"])
+    h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
+    up = _linear(h2, layer["w_up"]).astype(jnp.float32)
+    x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+    return x, cache_k, cache_v
+
+
+def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
+    """One decode step. token [B] int32, pos [B] int32 (write positions).
+
+    Returns (logits [B, vocab], cache'). Jit with cache donated:
+    ``jax.jit(..., donate_argnums=(4,))``.
+    """
+    B = token.shape[0]
+    x = jnp.take(params["embed"], token, axis=0)[:, None, :]
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        x, ck, cv = _block_decode(cfg, layer, x, pos, cache["k"][i],
+                                  cache["v"][i])
+        new_k.append(ck)
+        new_v.append(cv)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = _linear(x[:, 0], params["lm_head"])
+    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+def greedy_generate(params, cfg: LlamaConfig, prompt_tokens, n_steps: int,
+                    cache=None):
+    """Reference-style greedy decode loop (llama_kvcache_inference.py
+    analog). Returns [B, n_steps] generated ids."""
+    B, S = prompt_tokens.shape
+    if cache is None:
+        cache = init_kv_cache(cfg, B)
+    logits, cache = jax.jit(llama_prefill, static_argnums=1)(
+        params, cfg, prompt_tokens, cache)
+    token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    step = jax.jit(llama_decode_step, static_argnums=1, donate_argnums=4)
+    outs = [token]
+    pos = jnp.full((B,), S, jnp.int32)
+    for _ in range(n_steps - 1):
+        logits, cache = step(params, cfg, token, pos, cache)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(token)
+        pos = pos + 1
+    return jnp.stack(outs, axis=1), cache

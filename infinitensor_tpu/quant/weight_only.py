@@ -1,0 +1,120 @@
+"""Weight-only INT8/INT4 quantization for serving.
+
+The BASELINE north star: INT8/INT4 weight-only dequant+matmul at
+speed-of-light. Layout decisions are TPU-driven:
+
+* per-(group, out-channel) symmetric scales; group along the contraction
+  axis (``group_size`` input rows share a scale) — the standard weight-only
+  scheme that keeps the matmul epilogue a cheap rescale;
+* INT4 packed two-nibbles-per-int8 along the contraction axis, unpacked
+  in-kernel (Pallas) or via bit ops (jnp fallback);
+* activations stay bf16; the MXU consumes bf16 x int8->bf16 directly, so the
+  jnp path casts weights and lets XLA fuse the scale multiply.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedLinear:
+    """Weight-only quantized [in, out] matrix.
+
+    qweight: int8 [in, out] (int8 mode) or packed int8 [in//2, out] (int4)
+    scales:  f32/bf16 [n_groups, out]
+    bits:    4 or 8
+    group_size: contraction rows per scale group
+    """
+
+    qweight: jax.Array
+    scales: jax.Array
+    bits: int
+    group_size: int
+
+    def tree_flatten(self):
+        return (self.qweight, self.scales), (self.bits, self.group_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def in_features(self) -> int:
+        rows = self.qweight.shape[0]
+        return rows * 2 if self.bits == 4 else rows
+
+    @property
+    def out_features(self) -> int:
+        return self.qweight.shape[-1]
+
+
+def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None
+                    ) -> QuantizedLinear:
+    """Symmetric per-group-per-channel quantization of [in, out] weight."""
+    w = jnp.asarray(w)
+    din, dout = w.shape
+    if group_size is None:
+        group_size = din  # per-channel only
+    assert din % group_size == 0, (din, group_size)
+    ng = din // group_size
+    wg = w.reshape(ng, group_size, dout).astype(jnp.float32)
+    qmax = 127.0 if bits == 8 else 7.0
+    absmax = jnp.max(jnp.abs(wg), axis=1)                 # [ng, out]
+    scales = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.round(wg / scales[:, None, :])
+    q = jnp.clip(q, -qmax - 1, qmax).astype(jnp.int8)
+    q = q.reshape(din, dout)
+    if bits == 4:
+        # pack consecutive contraction rows: row 2i -> low nibble, 2i+1 -> high
+        lo = q[0::2].astype(jnp.uint8) & 0xF
+        hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
+        q = (lo | hi).astype(jnp.int8)
+    return QuantizedLinear(q, scales.astype(jnp.float32), bits, group_size)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """[in//2, out] packed -> [in, out] int8 in [-8, 7]."""
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0xF).astype(jnp.int8)
+    hi = ((u >> 4) & 0xF).astype(jnp.int8)
+    # sign-extend nibbles
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    din2, dout = packed.shape
+    out = jnp.stack([lo, hi], axis=1)        # [in//2, 2, out]
+    return out.reshape(din2 * 2, dout)
+
+
+def dequantize_weight(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    w = _unpack_int4(q.qweight) if q.bits == 4 else q.qweight
+    din, dout = w.shape
+    ng = q.scales.shape[0]
+    wf = w.reshape(ng, din // ng, dout).astype(jnp.float32)
+    wf = wf * q.scales[:, None, :]
+    return wf.reshape(din, dout).astype(dtype)
+
+
+def wo_matmul(x: jax.Array, q: QuantizedLinear, use_pallas: str = "auto"
+              ) -> jax.Array:
+    """x [..., in] @ quantized w -> [..., out].
+
+    jnp path: dequantize (XLA fuses the int8->bf16 convert + scale into the
+    matmul's operand stream); Pallas path streams int8 blocks HBM->VMEM and
+    dequantizes in-registers (kernels/quant_matmul.py) — the bandwidth win
+    (2-4x fewer HBM bytes than bf16) is why quantized serving is fast.
+    """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and x.shape[-1] >= 512:
+        from infinitensor_tpu.kernels.quant_matmul import quant_matmul
+        return quant_matmul(x, q)
+    w = dequantize_weight(q, dtype=x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)

@@ -1,0 +1,139 @@
+"""Continuous-batching serving engine (greedy decode, single program).
+
+Replaces the reference's static-graph runner + KV heap with a slot-based
+continuous batcher: a fixed decode batch of B slots compiles exactly two XLA
+programs (prefill bs=1, decode bs=B); requests stream through slots with no
+recompiles — the executable-cache discipline the reference builds CUDA-Graph
+machinery for (cuda_runtime.cc:351-426) falls out of static shapes.
+
+Flow per step():
+  1. admit: pending request + free slot -> jit'ed bs=1 prefill -> write the
+     prefill KV into the slot (donated buffers, in-place in HBM)
+  2. decode: one fused step over all B slots (inactive slots compute on
+     garbage and are masked out on the host)
+  3. retire: sequences hitting eos/max_tokens free their slot
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitensor_tpu.models.llama import (
+    init_kv_cache, llama_decode_step, llama_prefill,
+)
+from infinitensor_tpu.serving.kvcache import write_prefill_into_slot
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]
+    max_new_tokens: int = 32
+    eos_id: Optional[int] = None
+    # filled by the engine:
+    generated: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    def __init__(self, params, cfg, max_slots: int = 8,
+                 prefill_buckets: tuple = (32, 128, 512)):
+        self.params = params
+        self.cfg = cfg
+        self.B = max_slots
+        self.cache = init_kv_cache(cfg, max_slots)
+        self.prefill_buckets = tuple(
+            b for b in prefill_buckets if b <= cfg.max_seq) or (cfg.max_seq,)
+
+        self.pending: deque[Request] = deque()
+        self.slots: list[Optional[Request]] = [None] * max_slots
+        self.pos = np.zeros(max_slots, np.int32)        # next write position
+        self.last_token = np.zeros(max_slots, np.int32)
+
+        self._prefill = jax.jit(
+            lambda p, t, c: llama_prefill(p, cfg, t, c))
+        self._decode = jax.jit(
+            lambda p, t, ps, c: llama_decode_step(p, cfg, t, ps, c),
+            donate_argnums=3)
+        self.steps = 0
+        self.tokens_out = 0
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt: list[int], max_new_tokens: int = 32,
+               eos_id: Optional[int] = None, uid: Optional[int] = None
+               ) -> Request:
+        req = Request(uid if uid is not None else len(self.pending),
+                      list(prompt), max_new_tokens, eos_id)
+        self.pending.append(req)
+        return req
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prefill_buckets:
+            if n <= b:
+                return b
+        return self.cfg.max_seq
+
+    def _admit(self) -> None:
+        for slot in range(self.B):
+            if self.slots[slot] is not None or not self.pending:
+                continue
+            req = self.pending.popleft()
+            S = len(req.prompt)
+            bucket = self._bucket(S)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :S] = req.prompt
+            pcache = init_kv_cache(self.cfg, 1, max_seq=bucket,
+                                   dtype=self.cache["k"].dtype)
+            logits, pcache = self._prefill(self.params,
+                                           jnp.asarray(toks), pcache)
+            self.cache = write_prefill_into_slot(self.cache, pcache, slot)
+            first = int(jnp.argmax(logits[0, S - 1]))
+            req.generated.append(first)
+            self.slots[slot] = req
+            self.pos[slot] = S
+            self.last_token[slot] = first
+            self.tokens_out += 1
+
+    def _retire(self, slot: int) -> None:
+        req = self.slots[slot]
+        req.done = True
+        self.slots[slot] = None
+        self.pos[slot] = 0
+
+    # ------------------------------------------------------------------
+    def step(self) -> int:
+        """Admit + one decode step. Returns number of live sequences."""
+        self._admit()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return 0
+        token = jnp.asarray(self.last_token)
+        pos = jnp.asarray(self.pos)
+        logits, self.cache = self._decode(self.params, token, pos, self.cache)
+        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        self.steps += 1
+        for slot in active:
+            req = self.slots[slot]
+            tok = int(nxt[slot])
+            req.generated.append(tok)
+            self.tokens_out += 1
+            self.pos[slot] += 1
+            self.last_token[slot] = tok
+            hit_eos = req.eos_id is not None and tok == req.eos_id
+            full = self.pos[slot] + 1 >= self.cfg.max_seq
+            if hit_eos or full or len(req.generated) >= req.max_new_tokens:
+                self._retire(slot)
+        return len([r for r in self.slots if r is not None])
+
+    def run_to_completion(self, max_steps: int = 10_000) -> None:
+        for _ in range(max_steps):
+            if not self.pending and all(r is None for r in self.slots):
+                return
+            self.step()
+        raise RuntimeError("serving engine did not drain")

@@ -1,0 +1,81 @@
+"""Serving engine tests: continuous batching correctness vs straight-line
+generation, slot lifecycle, KV slot ops (reference cloneKV/free_heap
+analogs)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from infinitensor_tpu.models.llama import (
+    LlamaConfig, init_llama_params, init_kv_cache, greedy_generate,
+)
+from infinitensor_tpu.serving.engine import ServingEngine
+from infinitensor_tpu.serving.kvcache import clone_kv_slot, clear_kv_slot
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return LlamaConfig.tiny(dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_llama_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+
+
+def test_engine_matches_straightline(cfg, params):
+    """Tokens produced under continuous batching must equal single-request
+    greedy generation."""
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 100, n)) for n in (4, 7, 3)]
+    n_new = 6
+
+    expected = []
+    for p in prompts:
+        out, _ = greedy_generate(params, cfg,
+                                 jnp.asarray([p], jnp.int32), n_steps=n_new)
+        expected.append(list(np.asarray(out[0])))
+
+    eng = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(8,))
+    reqs = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    eng.run_to_completion()
+    for req, exp in zip(reqs, expected):
+        assert req.done
+        assert req.generated == exp, (req.generated, exp)
+
+
+def test_engine_slot_reuse(cfg, params):
+    eng = ServingEngine(params, cfg, max_slots=1, prefill_buckets=(8,))
+    r1 = eng.submit([1, 2, 3], max_new_tokens=3)
+    r2 = eng.submit([4, 5], max_new_tokens=3)
+    eng.run_to_completion()
+    assert r1.done and r2.done
+    assert len(r1.generated) == 3 and len(r2.generated) == 3
+    # with 1 slot, decode batch stayed 1; total steps bounded
+    assert eng.steps <= 6
+
+
+def test_eos_stops_early(cfg, params):
+    eng = ServingEngine(params, cfg, max_slots=1, prefill_buckets=(8,))
+    # discover the greedy continuation, then use its 2nd token as "eos"
+    probe = eng.submit([9, 8, 7], max_new_tokens=5)
+    eng.run_to_completion()
+    eos = probe.generated[1]
+    eng2 = ServingEngine(params, cfg, max_slots=1, prefill_buckets=(8,))
+    r = eng2.submit([9, 8, 7], max_new_tokens=5, eos_id=eos)
+    eng2.run_to_completion()
+    assert r.generated[:2] == probe.generated[:2]
+    assert len(r.generated) == 2  # stopped at eos
+
+
+def test_clone_and_clear_slot(cfg, params):
+    cache = init_kv_cache(cfg, 4, dtype=jnp.float32)
+    k = cache["k"].at[:, 1].set(1.5)
+    cache = {"k": k, "v": cache["v"]}
+    cache = clone_kv_slot(cache, 1, 3)
+    assert float(cache["k"][:, 3].min()) == 1.5
+    assert float(cache["k"][:, 0].max()) == 0.0
+    cache = clear_kv_slot(cache, 1)
+    assert float(cache["k"][:, 1].max()) == 0.0
+    assert float(cache["k"][:, 3].min()) == 1.5
