@@ -3,14 +3,20 @@
 TPU-native redesign of the reference's fused decode kernel
 (src/kernels/cuda/attention_kvcache.cu): the CUDA kernel appends k/v into the
 cache in-kernel and runs a SEQ_UNIT-tiled online softmax for a single query
-token. Here the cache is a static-shape [B, H, S_max, D] buffer; the append is
-a dynamic_update_slice (XLA lowers to an in-place HBM write when the buffer is
-donated) and attention is masked over positions <= pos.
+token. Here:
 
-Two implementations:
-  decode_attention_ref : pure jnp (oracle; also fine for XLA to fuse)
-  decode_attention     : Pallas kernel, one grid step per (batch, head-block),
-                         q row resident in VMEM, K/V streamed from HBM.
+* the cache is a static-shape [B, H, S_max, D] buffer; the append is a
+  dynamic_update_slice on a donated buffer (XLA writes the single row in
+  place in HBM — no copy);
+* attention is a flash-decode Pallas kernel: grid (B, H, S/blk) with the
+  sequence dimension innermost, K/V blocks streamed HBM->VMEM by the Pallas
+  pipeliner (double-buffered), online softmax state in VMEM scratch, and only
+  2D dots (Mosaic has no batched-dot support).
+
+Implementations:
+  decode_attention_ref : pure jnp (oracle; what XLA fuses on its own)
+  decode_attention     : cache append + Pallas flash-decode
+  decode_attention_gqa : grouped-query wrapper used by the Llama models
 """
 
 from __future__ import annotations
@@ -30,6 +36,18 @@ def _normalize_pos(pos, batch):
     return pos
 
 
+def _append_kv(k_cache, v_cache, k, v, pos):
+    """Write k/v [B, H, 1, D] at per-batch positions (in place when the
+    caller donates the cache buffers)."""
+
+    def upd(cache, new, p):
+        return lax.dynamic_update_slice(cache, new, (0, p, 0))
+
+    k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), pos)
+    v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), pos)
+    return k_cache, v_cache
+
+
 def decode_attention_ref(k_cache, v_cache, q, k, v, pos):
     """Reference semantics; shapes:
     k_cache/v_cache: [B, H, S, D]; q/k/v: [B, H, 1, D]; pos: [] or [B].
@@ -38,13 +56,7 @@ def decode_attention_ref(k_cache, v_cache, q, k, v, pos):
     """
     B, H, S, D = k_cache.shape
     pos = _normalize_pos(pos, B)
-
-    def upd(cache, new, p):
-        return lax.dynamic_update_slice(cache, new, (0, p, 0))
-
-    k_cache = jax.vmap(upd)(k_cache, k, pos)
-    v_cache = jax.vmap(upd)(v_cache, v, pos)
-
+    k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
     scale = 1.0 / math.sqrt(D)
     scores = jnp.einsum(
         "bhqd,bhsd->bhqs", q.astype(jnp.float32), k_cache.astype(jnp.float32)
@@ -65,15 +77,12 @@ def decode_attention_gqa(k_cache, v_cache, q, k, v, pos):
     """
     B, Hkv, S, D = k_cache.shape
     H = q.shape[1]
-    if H == Hkv and jax.default_backend() == "tpu":
-        return decode_attention(k_cache, v_cache, q, k, v, pos)
     pos = _normalize_pos(pos, B)
-
-    def upd(cache, new, p):
-        return lax.dynamic_update_slice(cache, new, (0, p, 0))
-
-    k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), pos)
-    v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), pos)
+    if jax.default_backend() == "tpu":
+        k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
+        out = flash_decode(q, k_cache, v_cache, pos)
+        return out, k_cache, v_cache
+    k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
     rep = H // Hkv
     scale = 1.0 / math.sqrt(D)
     qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
@@ -86,110 +95,102 @@ def decode_attention_gqa(k_cache, v_cache, q, k, v, pos):
     return (out.reshape(B, H, 1, D).astype(q.dtype), k_cache, v_cache)
 
 
+def decode_attention(k_cache, v_cache, q, k, v, pos):
+    """MHA decode (H == Hkv): append + flash-decode kernel."""
+    B = k_cache.shape[0]
+    pos = _normalize_pos(pos, B)
+    if jax.default_backend() != "tpu":
+        return decode_attention_ref(k_cache, v_cache, q, k, v, pos)
+    k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
+    out = flash_decode(q, k_cache, v_cache, pos)
+    return out, k_cache, v_cache
+
+
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas flash-decode kernel
 # ---------------------------------------------------------------------------
 
-def _decode_attn_kernel(pos_ref, q_ref, k_new_ref, v_new_ref,
-                        kc_ref, vc_ref, out_ref, kc_out_ref, vc_out_ref,
-                        *, seq_block: int):
-    """Grid: (B,). Blocks carry one batch element: [H, S, D] cache slices.
-
-    Online-softmax over S in seq_block chunks (analog of the CUDA kernel's
-    SEQ_UNIT tiling + two-pass reduction, done here in one pass).
+def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
+                         m_ref, l_ref, acc_ref, *, seq_block, rep):
+    """Grid (B, Hkv, S/blk), seq innermost. Blocks:
+    q [1, rep, D] (rep query heads sharing this kv head), k/v [seq_block, D].
+    Online softmax state in VMEM scratch, only 2D dots (MXU-friendly).
     """
-    import jax.experimental.pallas as pl  # local import keeps CPU path light
+    import jax.experimental.pallas as pl
 
+    s_idx = pl.program_id(2)
     pos = pos_ref[0]
-    H, S, D = kc_ref.shape
+    start = s_idx * seq_block
 
-    # Append new k/v at `pos` and write through to the cache outputs.
-    kc_out_ref[:, :, :] = kc_ref[:, :, :]
-    vc_out_ref[:, :, :] = vc_ref[:, :, :]
-    kc_out_ref[:, pl.ds(pos, 1), :] = k_new_ref[:, :, :]
-    vc_out_ref[:, pl.ds(pos, 1), :] = v_new_ref[:, :, :]
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:, :] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:, :] = jnp.zeros_like(l_ref)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    scale = 1.0 / math.sqrt(D)
-    q = q_ref[:, 0, :].astype(jnp.float32)  # [H, D]
-
-    num_blocks = pl.cdiv(S, seq_block)
-
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        start = i * seq_block
-        kb = kc_out_ref[:, pl.ds(start, seq_block), :].astype(jnp.float32)
-        vb = vc_out_ref[:, pl.ds(start, seq_block), :].astype(jnp.float32)
-        s = jnp.einsum("hd,hsd->hs", q, kb,
-                       preferred_element_type=jnp.float32) * scale
-        idx = start + lax.broadcasted_iota(jnp.int32, (1, seq_block), 1)
-        s = jnp.where(idx <= pos, s, -jnp.inf)
+    # Skip blocks entirely beyond the causal frontier.
+    @pl.when(start <= pos)
+    def _():
+        D = q_ref.shape[-1]
+        q = q_ref[:, :].astype(jnp.float32)               # [rep, D]
+        kb = k_ref[:, :].astype(jnp.float32)              # [blk, D]
+        vb = v_ref[:, :].astype(jnp.float32)              # [blk, D]
+        scale = 1.0 / math.sqrt(D)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, seq_block), 1)
+        s = jnp.where(idx <= pos, s, -jnp.inf)            # [rep, blk]
+        m_prev = m_ref[:, :]                              # [rep, 1]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur)
-        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha
-        acc = acc + jnp.einsum("hs,hsd->hd", p, vb,
-                               preferred_element_type=jnp.float32)
-        return m_cur, l_cur, acc
+        l_ref[:, :] = l_ref[:, :] * alpha + jnp.sum(p, -1, keepdims=True)
+        m_ref[:, :] = m_cur
+        pv = jax.lax.dot_general(p, vb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
 
-    m0 = jnp.full((H, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((H, 1), jnp.float32)
-    acc0 = jnp.zeros((H, D), jnp.float32)
-    # Only iterate blocks that intersect [0, pos].
-    n_active = lax.div(pos, seq_block) + 1
-    m, l, acc = lax.fori_loop(0, n_active, body, (m0, l0, acc0))
-    out_ref[:, 0, :] = (acc / l).astype(out_ref.dtype)
+    @pl.when(s_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:, :] = (acc_ref[:, :] / l_ref[:, :]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("seq_block",))
-def decode_attention(k_cache, v_cache, q, k, v, pos, *, seq_block: int = 256):
-    """Pallas fused decode attention. Falls back to ref on non-TPU backends."""
+def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 512):
+    """q [B, H, 1, D], caches [B, Hkv, S, D] (already appended), pos [B].
+    Returns [B, H, 1, D]. H must be a multiple of Hkv (GQA)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if jax.default_backend() not in ("tpu",):
-        return decode_attention_ref(k_cache, v_cache, q, k, v, pos)
-
-    B, H, S, D = k_cache.shape
+    B, H, _, D = q.shape
+    Bk, Hkv, S, Dk = k_cache.shape
+    rep = H // Hkv
     seq_block = min(seq_block, S)
-    pos = _normalize_pos(pos, B)
+    if S % seq_block:
+        seq_block = math.gcd(S, seq_block) or S
+    grid = (B, Hkv, S // seq_block)
 
-    grid = (B,)
-    batch_block = lambda *dims: pl.BlockSpec(
-        (1, *dims), lambda b: (b, *(0,) * len(dims)))
+    qg = q.reshape(B, Hkv, rep, D)
 
-    out, kc, vc = pl.pallas_call(
-        functools.partial(_squeeze_batch_kernel, seq_block=seq_block),
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_kernel, seq_block=seq_block, rep=rep),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
-            batch_block(H, 1, D),
-            batch_block(H, 1, D),
-            batch_block(H, 1, D),
-            batch_block(H, S, D),
-            batch_block(H, S, D),
+            pl.BlockSpec((1,), lambda b, h, s: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, None, rep, D), lambda b, h, s: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, seq_block, D),
+                         lambda b, h, s: (b, h, s, 0)),
+            pl.BlockSpec((None, None, seq_block, D),
+                         lambda b, h, s: (b, h, s, 0)),
         ],
-        out_specs=(
-            batch_block(H, 1, D),
-            batch_block(H, S, D),
-            batch_block(H, S, D),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ),
-        input_output_aliases={4: 1, 5: 2},
-    )(pos, q, k, v, k_cache, v_cache)
-    return out, kc, vc
-
-
-def _squeeze_batch_kernel(pos_ref, q_ref, k_ref, v_ref, kc_ref, vc_ref,
-                          out_ref, kco_ref, vco_ref, *, seq_block):
-    # Leading block dim is the (size-1) batch slot; drop it via .at[0].
-    _decode_attn_kernel(
-        pos_ref, q_ref.at[0], k_ref.at[0], v_ref.at[0],
-        kc_ref.at[0], vc_ref.at[0],
-        out_ref.at[0], kco_ref.at[0], vco_ref.at[0],
-        seq_block=seq_block,
-    )
+        out_specs=pl.BlockSpec((None, None, rep, D),
+                               lambda b, h, s: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, D), jnp.float32),
+        ],
+    )(pos, qg, k_cache, v_cache)
+    return out.reshape(B, H, 1, D)
