@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from infinitensor_tpu.utils.platform import is_tpu
+
 
 def _normalize_pos(pos, batch):
     pos = jnp.asarray(pos).reshape(-1).astype(jnp.int32)
@@ -78,7 +80,7 @@ def decode_attention_gqa(k_cache, v_cache, q, k, v, pos):
     B, Hkv, S, D = k_cache.shape
     H = q.shape[1]
     pos = _normalize_pos(pos, B)
-    if jax.default_backend() == "tpu":
+    if is_tpu():
         k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
         out = flash_decode(q, k_cache, v_cache, pos)
         return out, k_cache, v_cache
@@ -99,7 +101,7 @@ def decode_attention(k_cache, v_cache, q, k, v, pos):
     """MHA decode (H == Hkv): append + flash-decode kernel."""
     B = k_cache.shape[0]
     pos = _normalize_pos(pos, B)
-    if jax.default_backend() != "tpu":
+    if not is_tpu():
         return decode_attention_ref(k_cache, v_cache, q, k, v, pos)
     k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
     out = flash_decode(q, k_cache, v_cache, pos)

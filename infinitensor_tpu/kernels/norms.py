@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from infinitensor_tpu.utils.platform import is_tpu
+
 
 def rmsnorm_ref(x, w, eps: float = 1e-6):
     x32 = x.astype(jnp.float32)
@@ -29,7 +31,7 @@ def _rmsnorm_kernel(x_ref, w_ref, o_ref, *, eps):
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
 def rmsnorm(x, w, eps: float = 1e-6, block_rows: int = 256):
-    if jax.default_backend() != "tpu":
+    if not is_tpu():
         return rmsnorm_ref(x, w, eps)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

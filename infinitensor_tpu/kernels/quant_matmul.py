@@ -17,6 +17,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from infinitensor_tpu.utils.platform import is_tpu
+
 from infinitensor_tpu.quant.weight_only import (
     QuantizedLinear, dequantize_weight, _unpack_int4,
 )
@@ -55,7 +57,7 @@ def _kernel_int4(x_ref, qw_ref, sc_ref, o_ref, *, group_size):
 @functools.partial(jax.jit, static_argnames=("block_out",))
 def quant_matmul(x, q: QuantizedLinear, block_out: int = 512):
     """x [..., din] @ q -> [..., dout]."""
-    if jax.default_backend() != "tpu":
+    if not is_tpu():
         return quant_matmul_ref(x, q)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -293,6 +293,28 @@ def _conv(op, ins, ctx):
     return out
 
 
+@register("Im2colMatmulConv")
+def _im2col_conv(op, ins, ctx):
+    """Conv as im2col + MXU matmul (mutator-produced algorithm choice)."""
+    x, w = ins[0], ins[1]
+    n, c, ih, iw = x.shape
+    f, _, kh, kw = w.shape
+    nsp = 2
+    strides = tuple(op.attrs.get("strides", [1, 1]))
+    dilations = tuple(op.attrs.get("dilations", [1, 1]))
+    pads = list(op.attrs.get("pads", [0, 0, 0, 0]))
+    padding = [(pads[0], pads[2]), (pads[1], pads[3])]
+    patches = lax.conv_general_dilated_patches(
+        x, (kh, kw), strides, padding, rhs_dilation=dilations,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))   # [N, C*kh*kw, OH, OW]
+    oh, ow = patches.shape[2], patches.shape[3]
+    cols = patches.reshape(n, c * kh * kw, oh * ow)
+    wf = w.reshape(f, c * kh * kw)
+    out = jnp.einsum("fk,nko->nfo", wf, cols,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(n, f, oh, ow)
+
+
 @register("ConvTranspose")
 def _conv_transpose(op, ins, ctx):
     x, w = ins[0], ins[1]

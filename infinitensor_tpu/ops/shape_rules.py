@@ -227,7 +227,7 @@ def _conv_out_dim(x, k, pad_b, pad_e, stride, dilation, ceil_mode=False):
     return num // stride + 1
 
 
-@register("Conv")
+@register("Conv", "Im2colMatmulConv")
 def _conv(op):
     x, w = _in(op, 0), _in(op, 1)
     spatial = x.shape[2:]

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from infinitensor_tpu.utils.platform import is_tpu
+
 from infinitensor_tpu.core.tensor import TensorRole
 from infinitensor_tpu.ops.lowering import LowerCtx, lower_op
 from infinitensor_tpu.parallel.planner import TPPlan
@@ -30,7 +32,7 @@ class TPExecutor:
             from infinitensor_tpu.parallel.mesh import make_mesh
             mesh = make_mesh({plan.axis_name: plan.tp})
         self.mesh = mesh
-        self.ctx = LowerCtx(use_pallas=jax.default_backend() == "tpu",
+        self.ctx = LowerCtx(use_pallas=is_tpu(),
                             axis_name=plan.axis_name, world_size=plan.tp)
         self._inputs = g.inputs()
         self._outputs = g.outputs()

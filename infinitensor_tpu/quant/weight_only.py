@@ -20,6 +20,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from infinitensor_tpu.utils.platform import is_tpu
 import numpy as np
 
 
@@ -112,7 +114,7 @@ def wo_matmul(x: jax.Array, q: QuantizedLinear, use_pallas: str = "auto"
     (2-4x fewer HBM bytes than bf16) is why quantized serving is fast.
     """
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = is_tpu()
     if use_pallas and x.shape[-1] >= 512:
         from infinitensor_tpu.kernels.quant_matmul import quant_matmul
         return quant_matmul(x, q)

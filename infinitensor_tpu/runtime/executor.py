@@ -24,6 +24,8 @@ from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+from infinitensor_tpu.utils.platform import is_tpu
 import numpy as np
 
 from infinitensor_tpu.core.graph import Graph
@@ -45,7 +47,7 @@ class GraphExecutor:
                  device=None, donate_state: bool = True):
         graph.require_sorted()
         self.graph = graph
-        self.ctx = ctx or LowerCtx(use_pallas=jax.default_backend() == "tpu")
+        self.ctx = ctx or LowerCtx(use_pallas=is_tpu())
         self.device = device
         self.donate_state = donate_state
         self._inputs = graph.inputs()
@@ -94,7 +96,15 @@ class GraphExecutor:
 
     def _compiled(self, input_vals):
         if self.graph.version != self._graph_version:
+            # Graph mutated (rewrite/optimize): drop executables and re-snap
+            # the boundary tensors — the capture-invalidation analog
+            # (reference GraphCaptureStateObj::markChanged).
             self._cache.clear()
+            self.graph.require_sorted()
+            self._inputs = self.graph.inputs()
+            self._outputs = self.graph.outputs()
+            self._weights = {t.name: t for t in self.graph.weights()}
+            self._weight_vals = None
             self._graph_version = self.graph.version
         key = self._signature(input_vals)
         fn = self._cache.get(key)

@@ -1,0 +1,252 @@
+"""Optimizer tests: rewrites, subgraph match/replace, mutators, search
+(analogs of reference test_graph_replace.cc, test_search.cc,
+test_mutator.cc)."""
+
+import numpy as np
+import pytest
+
+from infinitensor_tpu.core import dtype as dt
+from infinitensor_tpu.core.handler import GraphHandler
+from infinitensor_tpu.core.operator import Operator
+from infinitensor_tpu.core.tensor import TensorObj
+from infinitensor_tpu.optimizer.rewrite import optimize_graph
+from infinitensor_tpu.optimizer.graph_match import SubGraphRewriter
+from infinitensor_tpu.optimizer.mutator import RuleBasedMutator
+from infinitensor_tpu.optimizer.search import SearchEngine
+
+
+def _run(h, feeds):
+    return h.run(feeds, return_numpy=True)
+
+
+def test_identity_and_dce(rng):
+    h = GraphHandler()
+    x = h.input((2, 4), name="x")
+    y = h.identity(x)
+    z = h.relu(y)
+    dead = h.neg(x)  # nobody consumes
+    z.role = z.role.__class__.OUTPUT
+    h.graph.infer_output_roles()
+    dead.role = dead.role.__class__.OTHERS
+    dead.targets = []
+    n0 = len(h.graph.operators)
+    h.optimize(level=1)
+    types = [op.op_type for op in h.graph.operators]
+    assert "Identity" not in types
+    assert "Neg" not in types  # dead code removed
+
+
+def test_transpose_fold_preserves_numerics(rng):
+    h = GraphHandler()
+    x = h.input((4, 6), name="x")
+    t = h.transpose(x, perm=[1, 0])
+    w = h.weight(rng.standard_normal((4, 5), dtype=np.float32))
+    h.matmul(t, w)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((4, 6), dtype=np.float32)
+    before = _run(h, {"x": x_np})
+    h.optimize(level=2)
+    assert all(op.op_type != "Transpose" for op in h.graph.operators)
+    after = _run(h, {"x": x_np})
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5)
+
+
+def test_conv_bias_fusion(rng):
+    h = GraphHandler()
+    x = h.input((1, 3, 8, 8), name="x")
+    w = h.weight(rng.standard_normal((4, 3, 3, 3), dtype=np.float32))
+    c = h.conv(x, w, pads=(1, 1))
+    bias = h.weight(rng.standard_normal((1, 4, 1, 1), dtype=np.float32))
+    h.add(c, bias)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((1, 3, 8, 8), dtype=np.float32)
+    before = _run(h, {"x": x_np})
+    h.optimize(level=2)
+    types = [op.op_type for op in h.graph.operators]
+    assert "Add" not in types
+    after = _run(h, {"x": x_np})
+    np.testing.assert_allclose(list(after.values())[0],
+                               list(before.values())[0], rtol=1e-4, atol=1e-5)
+
+
+def test_subgraph_match_and_replace(rng):
+    # pattern: Relu -> Neg ; replace with single Neg(Relu(x)) == -relu(x)
+    # via an equivalent Min(-x, 0)
+    h = GraphHandler()
+    x = h.input((3, 3), name="x")
+    r = h.relu(x)
+    h.neg(r)
+    h.graph.infer_output_roles()
+
+    ph = GraphHandler()
+    px = ph.input((3, 3))
+    pr = ph.relu(px)
+    pn = ph.neg(pr)
+
+    rw = SubGraphRewriter(h.graph)
+    matches = rw.find_matches(ph.graph)
+    assert len(matches) == 1
+
+    def build(g, xin):
+        zero = TensorObj((3, 3), dt.FLOAT32)
+        g.add_tensor(zero)
+        negd = Operator("Neg", [xin], [zero], {})
+        g.add_op(negd)
+        out = TensorObj((3, 3), dt.FLOAT32)
+        g.add_tensor(out)
+        g.add_op(Operator("Clip", [zero], [out], {"max": 0.0}))
+        return out
+
+    x_np = rng.standard_normal((3, 3), dtype=np.float32)
+    before = _run(h, {"x": x_np})
+    rw.replace(matches[0], ph.graph, build, [px], [pn])
+    after = _run(h, {"x": x_np})
+    np.testing.assert_allclose(list(after.values())[0],
+                               list(before.values())[0], rtol=1e-6)
+
+
+def test_mutator_conv1x1(rng):
+    h = GraphHandler()
+    x = h.input((2, 8, 4, 4), name="x")
+    w = h.weight(rng.standard_normal((16, 8, 1, 1), dtype=np.float32))
+    h.conv(x, w)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((2, 8, 4, 4), dtype=np.float32)
+    ref = _run(h, {"x": x_np})
+    muts = RuleBasedMutator().run(h.graph)
+    assert muts, "no mutants produced"
+    matmul_mut = next(g for g in muts
+                      if any(op.op_type == "MatMul" for op in g.operators))
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+    got = GraphExecutor(matmul_mut).run({"x": x_np}, return_numpy=True)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+def test_mutator_im2col(rng):
+    h = GraphHandler()
+    x = h.input((1, 4, 6, 6), name="x")
+    w = h.weight(rng.standard_normal((8, 4, 3, 3), dtype=np.float32))
+    h.conv(x, w, pads=(1, 1))
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((1, 4, 6, 6), dtype=np.float32)
+    ref = _run(h, {"x": x_np})
+    muts = RuleBasedMutator().run(h.graph)
+    im2col = next(g for g in muts
+                  if any(op.op_type == "Im2colMatmulConv"
+                         for op in g.operators))
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+    got = GraphExecutor(im2col).run({"x": x_np}, return_numpy=True)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+def test_mutator_merge_matmuls(rng):
+    h = GraphHandler()
+    x = h.input((4, 8), name="x")
+    w1 = h.weight(rng.standard_normal((8, 6), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((8, 10), dtype=np.float32))
+    h.matmul(x, w1)
+    h.matmul(x, w2)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((4, 8), dtype=np.float32)
+    ref = _run(h, {"x": x_np})
+    muts = RuleBasedMutator().run(h.graph)
+    merged = next(g for g in muts
+                  if any(op.op_type == "Split" for op in g.operators))
+    assert sum(1 for op in merged.operators if op.op_type == "MatMul") == 1
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+    got = GraphExecutor(merged).run({"x": x_np}, return_numpy=True)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+def test_search_engine_preserves_numerics(rng):
+    h = GraphHandler()
+    x = h.input((1, 8, 6, 6), name="x")
+    w1 = h.weight(rng.standard_normal((8, 8, 1, 1), dtype=np.float32))
+    c = h.conv(x, w1)
+    r = h.relu(c)
+    w2 = h.weight(rng.standard_normal((288, 10), dtype=np.float32))
+    h.matmul(h.flatten(r, axis=1), w2)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((1, 8, 6, 6), dtype=np.float32)
+    ref = _run(h, {"x": x_np})
+    best = SearchEngine().run(h.graph)
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+    got = GraphExecutor(best).run({"x": x_np}, return_numpy=True)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# nnet expression IR (reference test_Interpreter.cc / test_conv2gemm.cc)
+# ---------------------------------------------------------------------------
+
+def test_expr_matmul_evaluates(rng):
+    from infinitensor_tpu.nnet.derivation import matmul_expr
+    from infinitensor_tpu.nnet.evaluator import evaluate
+    a = rng.standard_normal((4, 6), dtype=np.float32)
+    b = rng.standard_normal((6, 5), dtype=np.float32)
+    comp = matmul_expr(4, 6, 5)
+    out = np.asarray(evaluate(comp, {"A": a, "B": b}))
+    np.testing.assert_allclose(out, a @ b, rtol=1e-5)
+
+
+def test_expr_conv_matches_lowering(rng):
+    from infinitensor_tpu.nnet.derivation import conv_expr
+    from infinitensor_tpu.nnet.evaluator import evaluate
+    import torch
+    x = rng.standard_normal((2, 3, 5, 5), dtype=np.float32)
+    w = rng.standard_normal((4, 3, 3, 3), dtype=np.float32)
+    comp = conv_expr(2, 3, 5, 5, 4, 3, 3, pad=1, stride=1)
+    out = np.asarray(evaluate(comp, {"X": x, "W": w}))
+    ref = torch.nn.functional.conv2d(torch.from_numpy(x),
+                                     torch.from_numpy(w), padding=1).numpy()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv1x1_derivation_equivalent(rng):
+    from infinitensor_tpu.nnet.derivation import (
+        conv_expr, conv1x1_to_matmul_expr, match_matmul)
+    from infinitensor_tpu.nnet.evaluator import evaluate
+    x = rng.standard_normal((2, 3, 4, 4), dtype=np.float32)
+    w = rng.standard_normal((6, 3, 1, 1), dtype=np.float32)
+    conv = conv_expr(2, 3, 4, 4, 6, 1, 1)
+    derived = conv1x1_to_matmul_expr(conv)
+    assert derived is not None
+    ref = np.asarray(evaluate(conv, {"X": x, "W": w}))
+    got = np.asarray(evaluate(derived, {"X": x, "W": w}))
+    # derived is [n*oh*ow, f]; conv is [n, f, oh, ow]
+    got4 = got.reshape(2, 4, 4, 6).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got4, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_match_matmul_recognizes_transposes():
+    from infinitensor_tpu.nnet.derivation import matmul_expr, match_matmul
+    for ta in (False, True):
+        for tb in (False, True):
+            comp = matmul_expr(3, 4, 5, ta, tb)
+            m = match_matmul(comp)
+            assert m is not None
+            assert m["transA"] == ta and m["transB"] == tb
+
+
+def test_membound_op_runs(rng):
+    """MemBound op carrying an expression executes via the evaluator
+    (reference MemBoundObj + TVM JIT path collapsed into XLA)."""
+    from infinitensor_tpu.nnet.derivation import matmul_expr
+    h = GraphHandler()
+    x = h.input((4, 6), name="x")
+    w = h.weight(rng.standard_normal((6, 5), dtype=np.float32), name="B")
+    comp = matmul_expr(4, 6, 5, a_name="x", b_name="B")
+    out_specs = [((4, 5), dt.FLOAT32)]
+    out = h._add("MemBound", [x, w], {"expr": comp, "out_specs": out_specs})
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((4, 6), dtype=np.float32)
+    got = h.run({"x": x_np}, return_numpy=True)
+    np.testing.assert_allclose(list(got.values())[0], x_np @ w.numpy(),
+                               rtol=1e-4, atol=1e-5)
