@@ -80,12 +80,12 @@ def build_resnet18(params: dict, batch: int = 1, image: int = 224,
             s = stride if blk == 0 else 1
             pre = h.relu(bnorm(t, base + ".bn1"))
             if blk == 0 and (cin != cout or stage > 0):
-                shortcut = h.conv(pre, w[base + ".down"], strides=(s, s))
+                shortcut = h.conv(pre, w[base + ".down.w"], strides=(s, s))
             else:
                 shortcut = t
-            u = h.conv(pre, w[base + ".conv1"], pads=(1, 1), strides=(s, s))
+            u = h.conv(pre, w[base + ".conv1.w"], pads=(1, 1), strides=(s, s))
             u = h.relu(bnorm(u, base + ".bn2"))
-            u = h.conv(u, w[base + ".conv2"], pads=(1, 1))
+            u = h.conv(u, w[base + ".conv2.w"], pads=(1, 1))
             t = h.add(shortcut, u)
 
     t = h.relu(bnorm(t, "final.bn"))
