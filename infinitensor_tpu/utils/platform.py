@@ -15,6 +15,10 @@ import jax
 
 @functools.cache
 def is_tpu() -> bool:
+    import os
+
+    if os.environ.get("INFINITPU_FORCE_JNP"):
+        return False  # debugging/compile-time escape hatch: skip Pallas paths
     try:
         d = jax.devices()[0]
     except Exception:
