@@ -39,13 +39,10 @@ def build_quant_params(cfg, key):
     for _ in range(cfg.n_layers):
         layers.append({
             "attn_norm": jnp.ones((cfg.dim,), cfg.dtype),
-            "wq": qlin(next(keys), cfg.dim, cfg.dim),
-            "wk": qlin(next(keys), cfg.dim, kvd),
-            "wv": qlin(next(keys), cfg.dim, kvd),
+            "wqkv": qlin(next(keys), cfg.dim, cfg.dim + 2 * kvd),
             "wo": qlin(next(keys), cfg.dim, cfg.dim),
             "mlp_norm": jnp.ones((cfg.dim,), cfg.dtype),
-            "w_gate": qlin(next(keys), cfg.dim, cfg.intermediate),
-            "w_up": qlin(next(keys), cfg.dim, cfg.intermediate),
+            "w_gateup": qlin(next(keys), cfg.dim, 2 * cfg.intermediate),
             "w_down": qlin(next(keys), cfg.intermediate, cfg.dim),
         })
     import jax.numpy as jnp2

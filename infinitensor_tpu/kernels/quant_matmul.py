@@ -54,8 +54,19 @@ def _kernel_int4(x_ref, qw_ref, sc_ref, o_ref, *, group_size):
                           ).astype(o_ref.dtype)
 
 
+def _pick_block(dout: int, cap: int = 2048) -> int:
+    """Largest lane-aligned (multiple of 128) divisor of dout, capped."""
+    best = 0
+    b = 128
+    while b <= min(cap, dout):
+        if dout % b == 0:
+            best = b
+        b += 128
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("block_out",))
-def quant_matmul(x, q: QuantizedLinear, block_out: int = 512):
+def quant_matmul(x, q: QuantizedLinear, block_out: int = 0):
     """x [..., din] @ q -> [..., dout]."""
     if not is_tpu():
         return quant_matmul_ref(x, q)
@@ -72,8 +83,8 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 512):
     pad_rows = max(8, rows)
     if pad_rows != rows:
         x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
-    bn = min(block_out, dout)
-    if dout % bn:
+    bn = block_out or _pick_block(dout)
+    if bn == 0 or dout % bn:
         return quant_matmul_ref(x, q)
     ng = q.scales.shape[0]
     qrows = q.qweight.shape[0]

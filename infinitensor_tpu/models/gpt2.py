@@ -114,8 +114,9 @@ def init_gpt2_cache(cfg: GPT2Config, batch: int,
                     max_seq: Optional[int] = None, dtype=None) -> dict:
     S = max_seq or cfg.max_seq
     dtype = dtype or cfg.dtype
-    shape = (cfg.n_layers, batch, cfg.n_heads, S, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    shape = (batch, cfg.n_heads, S, cfg.head_dim)
+    return {"k": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+            "v": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]}
 
 
 def gpt2_prefill(params, cfg: GPT2Config, tokens, cache):
@@ -142,16 +143,15 @@ def gpt2_prefill(params, cfg: GPT2Config, tokens, cache):
                         .astype(jnp.float32), approximate=True)
         x = x + _linear(u.astype(x.dtype), layer["w_down"], layer["b_down"])
         ck = jnp.zeros_like(cache["k"][0]).at[:, :, :S].set(
-            jnp.swapaxes(k, 1, 2).astype(cache["k"].dtype))
+            jnp.swapaxes(k, 1, 2).astype(cache["k"][0].dtype))
         cv = jnp.zeros_like(cache["v"][0]).at[:, :, :S].set(
-            jnp.swapaxes(v, 1, 2).astype(cache["v"].dtype))
+            jnp.swapaxes(v, 1, 2).astype(cache["v"][0].dtype))
         new_k.append(ck)
         new_v.append(cv)
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
     logits = jnp.matmul(x, params["wte"].T,
                         preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), {"k": jnp.stack(new_k),
-                                        "v": jnp.stack(new_v)}
+    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
 
 
 def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
@@ -168,9 +168,10 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
         qh = jnp.swapaxes(q.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
         kh = jnp.swapaxes(k.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
         vh = jnp.swapaxes(v.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
-        out, ck, cv = decode_attention_gqa(cache["k"][i], cache["v"][i],
-                                           qh, kh.astype(cache["k"].dtype),
-                                           vh.astype(cache["v"].dtype), pos)
+        out, ck, cv = decode_attention_gqa(
+            cache["k"][i], cache["v"][i], qh,
+            kh.astype(cache["k"][i].dtype),
+            vh.astype(cache["v"][i].dtype), pos)
         att = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
         x = x + _linear(att, layer["w_o"], layer["b_o"])
         h2 = _ln(x, layer["ln2_g"], layer["ln2_b"], cfg.layer_norm_eps)
@@ -182,5 +183,4 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
     logits = jnp.matmul(x[:, 0], params["wte"].T,
                         preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), {"k": jnp.stack(new_k),
-                                        "v": jnp.stack(new_v)}
+    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}

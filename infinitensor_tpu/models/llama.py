@@ -103,15 +103,29 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_llama_params(params: dict, bits: int = 8,
-                          group_size: Optional[int] = None) -> dict:
-    """Weight-only quantize all layer matmuls (+ lm_head)."""
+                          group_size: Optional[int] = None,
+                          fuse: bool = True) -> dict:
+    """Weight-only quantize all layer matmuls (+ lm_head).
+
+    fuse=True additionally concatenates Q/K/V and gate/up into single
+    quantized matrices ("wqkv", "w_gateup") — fewer, larger decode kernels
+    (the Megatron fused-QKV layout; reference reaches the same via its
+    parallel-matmul merge mutator)."""
+    from infinitensor_tpu.quant.weight_only import concat_qlinear
     out = {"embed": params["embed"], "final_norm": params["final_norm"],
            "lm_head": quantize_weight(params["lm_head"], bits, group_size),
            "layers": []}
     for layer in params["layers"]:
-        ql = dict(layer)
-        for k in _QUANT_KEYS:
-            ql[k] = quantize_weight(layer[k], bits, group_size)
+        ql = {k: v for k, v in layer.items() if k not in _QUANT_KEYS}
+        qw = {k: quantize_weight(layer[k], bits, group_size)
+              for k in _QUANT_KEYS}
+        if fuse:
+            ql["wqkv"] = concat_qlinear(qw["wq"], qw["wk"], qw["wv"])
+            ql["w_gateup"] = concat_qlinear(qw["w_gate"], qw["w_up"])
+            ql["wo"] = qw["wo"]
+            ql["w_down"] = qw["w_down"]
+        else:
+            ql.update(qw)
         out["layers"].append(ql)
     return out
 
@@ -147,15 +161,22 @@ def rope(x, pos, theta: float):
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None,
                   dtype=None, kv_quant: bool = False) -> dict:
+    """Per-layer list layout: each layer's K/V is its own [B, Hkv, S, D]
+    buffer so donation keeps every update a true in-place HBM write (a
+    stacked [L, ...] array would force XLA to re-materialize the stack
+    every step — measured at ~2 GB/step of pure copy traffic for 7B)."""
     S = max_seq or cfg.max_seq
     dtype = dtype or cfg.dtype
-    shape = (cfg.n_layers, batch, cfg.n_kv_heads, S, cfg.head_dim)
+    shape = (batch, cfg.n_kv_heads, S, cfg.head_dim)
     if kv_quant:
-        return {"k": jnp.zeros(shape, jnp.int8),
-                "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
-                "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        return {"k": [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)],
+                "v": [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)],
+                "k_scale": [jnp.zeros(shape[:-1], jnp.float32)
+                            for _ in range(cfg.n_layers)],
+                "v_scale": [jnp.zeros(shape[:-1], jnp.float32)
+                            for _ in range(cfg.n_layers)]}
+    return {"k": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+            "v": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]}
 
 
 def _attention(q, k, v, mask):
@@ -180,9 +201,7 @@ def _attention(q, k, v, mask):
 def _block_prefill(cfg, layer, x, pos, cache_k, cache_v, layer_idx):
     B, S, _ = x.shape
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _linear(h, layer["wq"]).reshape(B, S, cfg.n_heads, cfg.head_dim)
-    k = _linear(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
-    v = _linear(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
+    q, k, v = _qkv(cfg, layer, h)
     q = rope(q, pos, cfg.rope_theta)
     k = rope(k, pos, cfg.rope_theta)
     # write K/V into the cache at positions [0, S)
@@ -194,9 +213,7 @@ def _block_prefill(cfg, layer, x, pos, cache_k, cache_v, layer_idx):
     attn = _attention(q, k, v, causal)
     x = x + _linear(attn.reshape(B, S, cfg.dim), layer["wo"])
     h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
-    up = _linear(h2, layer["w_up"]).astype(jnp.float32)
-    x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+    x = x + _mlp(cfg, layer, h2)
     return x, cache_k, cache_v
 
 
@@ -213,16 +230,43 @@ def llama_prefill(params, cfg: LlamaConfig, tokens, cache):
         new_v.append(cv)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["lm_head"])
-    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits, {"k": new_k, "v": new_v}
+
+
+def _qkv(cfg, layer, h):
+    """Project to q/k/v, using the fused QKV matrix when present."""
+    B, S, _ = h.shape
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    if "wqkv" in layer:
+        qkv = _linear(h, layer["wqkv"])
+        q = qkv[..., :cfg.dim]
+        k = qkv[..., cfg.dim:cfg.dim + kvd]
+        v = qkv[..., cfg.dim + kvd:]
+    else:
+        q = _linear(h, layer["wq"])
+        k = _linear(h, layer["wk"])
+        v = _linear(h, layer["wv"])
+    return (q.reshape(B, S, cfg.n_heads, cfg.head_dim),
+            k.reshape(B, S, cfg.n_kv_heads, cfg.head_dim),
+            v.reshape(B, S, cfg.n_kv_heads, cfg.head_dim))
+
+
+def _mlp(cfg, layer, h2):
+    if "w_gateup" in layer:
+        gu = _linear(h2, layer["w_gateup"]).astype(jnp.float32)
+        gate, up = gu[..., :cfg.intermediate], gu[..., cfg.intermediate:]
+        gate = jax.nn.silu(gate)
+    else:
+        gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
+        up = _linear(h2, layer["w_up"]).astype(jnp.float32)
+    return _linear((gate * up).astype(h2.dtype), layer["w_down"])
 
 
 def _block_decode(cfg, layer, x, pos, cache_k, cache_v):
     """x [B, 1, dim]; pos [B] current positions; cache [B,Hkv,Smax,D]."""
     B = x.shape[0]
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _linear(h, layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.head_dim)
-    k = _linear(h, layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
-    v = _linear(h, layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
+    q, k, v = _qkv(cfg, layer, h)
     pos2 = pos[:, None]
     q = rope(q, pos2, cfg.rope_theta)
     k = rope(k, pos2, cfg.rope_theta)
@@ -238,9 +282,7 @@ def _block_decode(cfg, layer, x, pos, cache_k, cache_v):
     attn = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
     x = x + _linear(attn, layer["wo"])
     h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
-    up = _linear(h2, layer["w_up"]).astype(jnp.float32)
-    x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+    x = x + _mlp(cfg, layer, h2)
     return x, cache_k, cache_v
 
 
@@ -260,7 +302,7 @@ def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
         new_v.append(cv)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x[:, 0], params["lm_head"])
-    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits, {"k": new_k, "v": new_v}
 
 
 def greedy_generate(params, cfg: LlamaConfig, prompt_tokens, n_steps: int,

@@ -28,33 +28,39 @@ def _linear_spec(col_parallel: bool):
     return P(None, "tp") if col_parallel else P("tp", None)
 
 
-def _layer_specs() -> dict:
-    return {
-        "attn_norm": P(),
-        "wq": _linear_spec(True),
-        "wk": _linear_spec(True),
-        "wv": _linear_spec(True),
-        "wo": _linear_spec(False),
-        "mlp_norm": P(),
-        "w_gate": _linear_spec(True),
-        "w_up": _linear_spec(True),
-        "w_down": _linear_spec(False),
-    }
+_COL_KEYS = {"wq", "wk", "wv", "w_gate", "w_up", "wqkv", "w_gateup"}
+_ROW_KEYS = {"wo", "w_down"}
 
 
-def llama_param_specs(cfg) -> dict:
+def _layer_specs(layer=None) -> dict:
+    keys = layer.keys() if layer is not None else (
+        "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm", "w_gate", "w_up",
+        "w_down")
+    out = {}
+    for k in keys:
+        if k in _COL_KEYS:
+            out[k] = _linear_spec(True)
+        elif k in _ROW_KEYS:
+            out[k] = _linear_spec(False)
+        else:
+            out[k] = P()
+    return out
+
+
+def llama_param_specs(cfg, params=None) -> dict:
+    layers = params["layers"] if params is not None else [None] * cfg.n_layers
     return {
         "embed": P(None, "tp"),
         "final_norm": P(),
         "lm_head": P(None, "tp"),
-        "layers": [_layer_specs() for _ in range(cfg.n_layers)],
+        "layers": [_layer_specs(l) for l in layers],
     }
 
 
 def llama_cache_specs(cfg) -> dict:
-    # [L, B, Hkv, S, D]: batch over dp, kv heads over tp
-    spec = P(None, "dp", "tp", None, None)
-    return {"k": spec, "v": spec}
+    # per-layer [B, Hkv, S, D]: batch over dp, kv heads over tp
+    spec = P("dp", "tp", None, None)
+    return {"k": [spec] * cfg.n_layers, "v": [spec] * cfg.n_layers}
 
 
 def _spec_for_value(value, spec):
@@ -83,7 +89,7 @@ def tree_specs(params, specs):
 
 def shard_llama(params, cache, cfg, mesh: Mesh):
     """Place params + cache on the mesh with TP/DP shardings."""
-    pspecs = tree_specs(params, llama_param_specs(cfg))
+    pspecs = tree_specs(params, llama_param_specs(cfg, params))
     cspecs = llama_cache_specs(cfg)
 
     def put(tree, specs):
@@ -100,7 +106,8 @@ def shard_llama(params, cache, cfg, mesh: Mesh):
     placed = [jax.device_put(x, NamedSharding(mesh, s))
               for x, s in zip(flat_p, flat_s)]
     params = jax.tree_util.tree_unflatten(treedef, placed)
-    cache = {k: jax.device_put(v, NamedSharding(mesh, cspecs[k]))
+    cache = {k: [jax.device_put(buf, NamedSharding(mesh, s_))
+                 for buf, s_ in zip(v, cspecs[k])]
              for k, v in cache.items()}
     return params, cache
 

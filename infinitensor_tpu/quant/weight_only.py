@@ -65,7 +65,11 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None
     din, dout = w.shape
     if group_size is None:
         group_size = din  # per-channel only
-    assert din % group_size == 0, (din, group_size)
+    while din % group_size:  # snap to a divisor (e.g. 11008-like odd dims)
+        group_size //= 2
+        if group_size == 0:
+            group_size = din
+            break
     ng = din // group_size
     wg = w.reshape(ng, group_size, dout).astype(jnp.float32)
     qmax = 127.0 if bits == 8 else 7.0
@@ -96,12 +100,28 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def dequantize_weight(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    # Dequantize directly in the target dtype: an fp32 [din, dout]
+    # intermediate would cost 4 bytes/elem of HBM traffic and defeat the
+    # whole point of int8 storage when XLA declines to fuse.
     w = _unpack_int4(q.qweight) if q.bits == 4 else q.qweight
     din, dout = w.shape
     ng = q.scales.shape[0]
-    wf = w.reshape(ng, din // ng, dout).astype(jnp.float32)
-    wf = wf * q.scales[:, None, :]
-    return wf.reshape(din, dout).astype(dtype)
+    wf = w.reshape(ng, din // ng, dout).astype(dtype)
+    wf = wf * q.scales[:, None, :].astype(dtype)
+    return wf.reshape(din, dout)
+
+
+def concat_qlinear(*qs: QuantizedLinear) -> QuantizedLinear:
+    """Concatenate quantized matrices along the output dim (fused QKV /
+    gate+up): fewer, larger kernels amortize per-call overhead. Requires
+    matching bits/group_size/in_features."""
+    first = qs[0]
+    assert all(q.bits == first.bits and q.group_size == first.group_size
+               and q.qweight.shape[0] == first.qweight.shape[0] for q in qs)
+    return QuantizedLinear(
+        jnp.concatenate([q.qweight for q in qs], axis=1),
+        jnp.concatenate([q.scales for q in qs], axis=1),
+        first.bits, first.group_size)
 
 
 def wo_matmul(x: jax.Array, q: QuantizedLinear, use_pallas: str = "auto"

@@ -89,7 +89,7 @@ class ServingEngine:
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :S] = req.prompt
             pcache = init_kv_cache(self.cfg, 1, max_seq=bucket,
-                                   dtype=self.cache["k"].dtype)
+                                   dtype=self.cache["k"][0].dtype)
             logits, pcache = self._prefill(self.params,
                                            jnp.asarray(toks), pcache)
             self.cache = write_prefill_into_slot(self.cache, pcache, slot)

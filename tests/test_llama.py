@@ -30,10 +30,11 @@ def test_prefill_shapes(tiny_cfg, tiny_params):
     tokens = jnp.arange(B * S, dtype=jnp.int32).reshape(B, S) % 100
     logits, cache2 = llama_prefill(tiny_params, tiny_cfg, tokens, cache)
     assert logits.shape == (B, S, tiny_cfg.vocab_size)
-    assert cache2["k"].shape == cache["k"].shape
+    assert len(cache2["k"]) == tiny_cfg.n_layers
+    assert cache2["k"][0].shape == cache["k"][0].shape
     # cache written for positions < S, untouched after
-    assert np.abs(np.asarray(cache2["k"][:, :, :, S:])).max() == 0
-    assert np.abs(np.asarray(cache2["k"][:, :, :, :S])).max() > 0
+    assert np.abs(np.asarray(cache2["k"][0][:, :, S:])).max() == 0
+    assert np.abs(np.asarray(cache2["k"][0][:, :, :S])).max() > 0
 
 
 def test_decode_matches_prefill(tiny_cfg, tiny_params):

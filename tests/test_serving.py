@@ -71,11 +71,11 @@ def test_eos_stops_early(cfg, params):
 
 def test_clone_and_clear_slot(cfg, params):
     cache = init_kv_cache(cfg, 4, dtype=jnp.float32)
-    k = cache["k"].at[:, 1].set(1.5)
-    cache = {"k": k, "v": cache["v"]}
+    cache = {"k": [b.at[1].set(1.5) for b in cache["k"]],
+             "v": cache["v"]}
     cache = clone_kv_slot(cache, 1, 3)
-    assert float(cache["k"][:, 3].min()) == 1.5
-    assert float(cache["k"][:, 0].max()) == 0.0
+    assert float(cache["k"][0][3].min()) == 1.5
+    assert float(cache["k"][0][0].max()) == 0.0
     cache = clear_kv_slot(cache, 1)
-    assert float(cache["k"][:, 1].max()) == 0.0
-    assert float(cache["k"][:, 3].min()) == 1.5
+    assert float(cache["k"][0][1].max()) == 0.0
+    assert float(cache["k"][1][3].min()) == 1.5
