@@ -54,8 +54,12 @@ def _kernel_int4(x_ref, qw_ref, sc_ref, o_ref, *, group_size):
                           ).astype(o_ref.dtype)
 
 
-def _pick_block(dout: int, cap: int = 2048) -> int:
-    """Largest lane-aligned (multiple of 128) divisor of dout, capped."""
+def _pick_block(dout: int, din: int, vmem_budget: int = 4 * 1024 * 1024
+                ) -> int:
+    """Largest lane-aligned (multiple of 128) divisor of dout whose weight
+    block fits the VMEM budget (the Pallas pipeliner double-buffers the
+    int8 block, so din*block must stay well under VMEM)."""
+    cap = max(128, vmem_budget // max(din, 1))
     best = 0
     b = 128
     while b <= min(cap, dout):
@@ -83,7 +87,7 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0):
     pad_rows = max(8, rows)
     if pad_rows != rows:
         x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
-    bn = block_out or _pick_block(dout)
+    bn = block_out or _pick_block(dout, din)
     if bn == 0 or dout % bn:
         return quant_matmul_ref(x, q)
     ng = q.scales.shape[0]

@@ -198,23 +198,37 @@ def _attention(q, k, v, mask):
 # forward passes
 # ---------------------------------------------------------------------------
 
-def _block_prefill(cfg, layer, x, pos, cache_k, cache_v, layer_idx):
+def _block_prefill(cfg, layer, x, pos, cache_k, cache_v, layer_idx,
+                   k_scale=None, v_scale=None):
     B, S, _ = x.shape
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
     q, k, v = _qkv(cfg, layer, h)
     q = rope(q, pos, cfg.rope_theta)
     k = rope(k, pos, cfg.rope_theta)
     # write K/V into the cache at positions [0, S)
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, jnp.swapaxes(k, 1, 2).astype(cache_k.dtype), (0, 0, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, jnp.swapaxes(v, 1, 2).astype(cache_v.dtype), (0, 0, 0, 0))
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
+    if k_scale is not None:
+        from infinitensor_tpu.kernels.attention import quantize_kv_row
+        kq, ks = quantize_kv_row(kh)
+        vq, vs = quantize_kv_row(vh)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, kq, (0, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, vq, (0, 0, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, ks.astype(k_scale.dtype), (0, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, vs.astype(v_scale.dtype), (0, 0, 0))
+    else:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, kh.astype(cache_k.dtype), (0, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, vh.astype(cache_v.dtype), (0, 0, 0, 0))
     causal = jnp.tril(jnp.ones((S, S), bool))[None]
     attn = _attention(q, k, v, causal)
     x = x + _linear(attn.reshape(B, S, cfg.dim), layer["wo"])
     h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     x = x + _mlp(cfg, layer, h2)
-    return x, cache_k, cache_v
+    return x, cache_k, cache_v, k_scale, v_scale
 
 
 def llama_prefill(params, cfg: LlamaConfig, tokens, cache):
@@ -222,15 +236,21 @@ def llama_prefill(params, cfg: LlamaConfig, tokens, cache):
     B, S = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0)
     pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
-    new_k, new_v = [], []
+    quant_cache = "k_scale" in cache
+    new = {key: [] for key in cache}
     for i, layer in enumerate(params["layers"]):
-        x, ck, cv = _block_prefill(cfg, layer, x, pos, cache["k"][i],
-                                   cache["v"][i], i)
-        new_k.append(ck)
-        new_v.append(cv)
+        ks = cache["k_scale"][i] if quant_cache else None
+        vs = cache["v_scale"][i] if quant_cache else None
+        x, ck, cv, ks, vs = _block_prefill(cfg, layer, x, pos, cache["k"][i],
+                                           cache["v"][i], i, ks, vs)
+        new["k"].append(ck)
+        new["v"].append(cv)
+        if quant_cache:
+            new["k_scale"].append(ks)
+            new["v_scale"].append(vs)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["lm_head"])
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new
 
 
 def _qkv(cfg, layer, h):
@@ -262,8 +282,11 @@ def _mlp(cfg, layer, h2):
     return _linear((gate * up).astype(h2.dtype), layer["w_down"])
 
 
-def _block_decode(cfg, layer, x, pos, cache_k, cache_v):
-    """x [B, 1, dim]; pos [B] current positions; cache [B,Hkv,Smax,D]."""
+def _block_decode(cfg, layer, x, pos, cache_k, cache_v, k_scale=None,
+                  v_scale=None):
+    """x [B, 1, dim]; pos [B] current positions; cache [B,Hkv,Smax,D].
+    When k_scale/v_scale are given the cache is INT8 with per-(b,h,s)
+    scales (BASELINE INT8 KV cache)."""
     B = x.shape[0]
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
     q, k, v = _qkv(cfg, layer, h)
@@ -273,17 +296,22 @@ def _block_decode(cfg, layer, x, pos, cache_k, cache_v):
 
     # fused decode attention with in-cache append (Pallas on TPU)
     from infinitensor_tpu.kernels.attention import (
-        decode_attention, decode_attention_ref, decode_attention_gqa)
+        decode_attention_gqa, decode_attention_gqa_q8)
     qh = jnp.swapaxes(q, 1, 2)                      # [B, H, 1, D]
-    kh = jnp.swapaxes(k, 1, 2).astype(cache_k.dtype)
-    vh = jnp.swapaxes(v, 1, 2).astype(cache_v.dtype)
-    out, cache_k, cache_v = decode_attention_gqa(cache_k, cache_v, qh, kh,
-                                                 vh, pos)
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
+    if k_scale is not None:
+        out, cache_k, cache_v, k_scale, v_scale = decode_attention_gqa_q8(
+            cache_k, cache_v, k_scale, v_scale, qh, kh, vh, pos)
+    else:
+        out, cache_k, cache_v = decode_attention_gqa(
+            cache_k, cache_v, qh, kh.astype(cache_k.dtype),
+            vh.astype(cache_v.dtype), pos)
     attn = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
     x = x + _linear(attn, layer["wo"])
     h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     x = x + _mlp(cfg, layer, h2)
-    return x, cache_k, cache_v
+    return x, cache_k, cache_v, k_scale, v_scale
 
 
 def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
@@ -294,15 +322,21 @@ def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
     """
     B = token.shape[0]
     x = jnp.take(params["embed"], token, axis=0)[:, None, :]
-    new_k, new_v = [], []
+    quant_cache = "k_scale" in cache
+    new = {key: [] for key in cache}
     for i, layer in enumerate(params["layers"]):
-        x, ck, cv = _block_decode(cfg, layer, x, pos, cache["k"][i],
-                                  cache["v"][i])
-        new_k.append(ck)
-        new_v.append(cv)
+        ks = cache["k_scale"][i] if quant_cache else None
+        vs = cache["v_scale"][i] if quant_cache else None
+        x, ck, cv, ks, vs = _block_decode(cfg, layer, x, pos, cache["k"][i],
+                                          cache["v"][i], ks, vs)
+        new["k"].append(ck)
+        new["v"].append(cv)
+        if quant_cache:
+            new["k_scale"].append(ks)
+            new["v_scale"].append(vs)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x[:, 0], params["lm_head"])
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new
 
 
 def greedy_generate(params, cfg: LlamaConfig, prompt_tokens, n_steps: int,

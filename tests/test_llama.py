@@ -180,3 +180,27 @@ def test_gqa_decode_attention(rng):
                                np.asarray(k[0, :, 0]))
     np.testing.assert_allclose(np.asarray(vc2[1, :, 9]),
                                np.asarray(v[1, :, 0]))
+
+
+def test_int8_kv_cache_decode(tiny_cfg, tiny_params):
+    """INT8 KV cache stays close to the float-cache decode path
+    (BASELINE: INT8 KV cache for serving)."""
+    B, S = 1, 6
+    rngl = np.random.default_rng(3)
+    tokens = jnp.asarray(rngl.integers(0, 100, (B, S)), jnp.int32)
+    cache_f = init_kv_cache(tiny_cfg, B, dtype=jnp.float32)
+    logits_f, cache_f = llama_prefill(tiny_params, tiny_cfg, tokens, cache_f)
+    cache_q = init_kv_cache(tiny_cfg, B, kv_quant=True)
+    logits_q, cache_q = llama_prefill(tiny_params, tiny_cfg, tokens, cache_q)
+    assert cache_q["k"][0].dtype == jnp.int8
+    p_f = jax.nn.softmax(logits_f[:, -1])
+    p_q = jax.nn.softmax(logits_q[:, -1])
+    assert float(jnp.abs(p_f - p_q).max()) < 0.05
+    # one decode step on the quantized cache
+    pos = jnp.full((B,), S, jnp.int32)
+    step_f, cache_f = llama_decode_step(tiny_params, tiny_cfg,
+                                        tokens[:, 0], pos, cache_f)
+    step_q, cache_q = llama_decode_step(tiny_params, tiny_cfg,
+                                        tokens[:, 0], pos, cache_q)
+    assert int(jnp.argmax(step_f)) == int(jnp.argmax(step_q))
+    assert cache_q["k_scale"][0].shape == cache_q["k"][0].shape[:-1]

@@ -1,0 +1,82 @@
+"""Utility tests: data generator, validation metrics, tensor dump/load
+(reference test_tensor_save.cc / test_verify.cc analogs), operator timers."""
+
+import numpy as np
+import pytest
+
+from infinitensor_tpu.utils.data import (
+    DataGenerator, abs_error, rel_error, cosine_similarity,
+    token_mismatch_rate,
+)
+from infinitensor_tpu.utils import dataio
+
+
+def test_data_generator():
+    g = DataGenerator(0)
+    inc = g.incremental((2, 3))
+    assert inc[1, 2] == 5
+    r = g.random((4, 4), np.int8)
+    assert r.dtype == np.int8
+    oh = g.one_hot((2, 2), index=3)
+    assert oh[1, 1] == 1 and oh.sum() == 1
+
+
+def test_validation_metrics():
+    a = np.array([1.0, 2.0, 3.0])
+    b = np.array([1.0, 2.1, 3.0])
+    assert abs(abs_error(a, b) - 0.1) < 1e-12
+    assert rel_error(a, a) == 0.0
+    assert cosine_similarity(a, a) == pytest.approx(1.0)
+    assert token_mismatch_rate([1, 2, 3], [1, 0, 3]) == pytest.approx(1 / 3)
+
+
+def test_tensor_save_load(tmp_path, rng):
+    arr = rng.standard_normal((3, 4)).astype(np.float32)
+    p = str(tmp_path / "t.itpu")
+    dataio.save_tensor(arr, p, "x")
+    np.testing.assert_array_equal(dataio.load_tensor(p), arr)
+
+
+def test_multi_tensor_dump(tmp_path, rng):
+    tensors = {
+        "a": rng.standard_normal((2, 2)).astype(np.float32),
+        "b": rng.integers(0, 10, (5,)).astype(np.int64),
+    }
+    p = str(tmp_path / "dump.itpu")
+    dataio.save_tensors(tensors, p)
+    loaded = dataio.load_tensors(p)
+    assert set(loaded) == {"a", "b"}
+    np.testing.assert_array_equal(loaded["a"], tensors["a"])
+    np.testing.assert_array_equal(loaded["b"], tensors["b"])
+
+
+def test_graph_weight_roundtrip(tmp_path, rng):
+    from infinitensor_tpu.core.handler import GraphHandler
+    h = GraphHandler()
+    x = h.input((2, 4))
+    w = h.weight(rng.standard_normal((4, 4)).astype(np.float32), name="w0")
+    h.matmul(x, w)
+    p = str(tmp_path / "weights.itpu")
+    dataio.save_graph_weights(h.graph, p)
+    w.data = np.zeros_like(w.data)
+    assert dataio.load_graph_weights(h.graph, p) == 1
+    assert np.abs(w.numpy()).max() > 0
+
+
+def test_operator_timers_run():
+    from infinitensor_tpu.runtime import operator_timer as ot
+    assert ot.get_perf_matmul(1, 64, 64, 64) > 0
+    assert ot.get_perf_conv(1, 3, 16, 16, 8, 3, 3, pad=1) > 0
+    assert ot.get_perf_quant_matmul(8, 128, 128) > 0
+    assert ot.get_perf_decode_attention(1, 4, 64, 32) > 0
+
+
+def test_perf_engine_persistence(tmp_path):
+    from infinitensor_tpu.runtime.perf import PerfEngine
+    pe = PerfEngine()
+    pe.set(("MatMul", ((2, 2),), ()), 1.25)
+    p = str(tmp_path / "perf.json")
+    pe.save(p)
+    pe2 = PerfEngine()
+    pe2.load(p)
+    assert pe2.get(("MatMul", ((2, 2),), ())) == 1.25
