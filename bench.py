@@ -23,35 +23,50 @@ def build_quant_params(cfg, key):
     import jax.numpy as jnp
     from infinitensor_tpu.quant.weight_only import QuantizedLinear
 
+    # batch-generate per weight category (one RNG call for all layers —
+    # per-call dispatch latency through the device tunnel dominates
+    # otherwise), then split into per-layer arrays.
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    L = cfg.n_layers
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    def qlin_stack(k, din, dout, bits=8, group=128):
+        while din % group:
+            group //= 2
+        kq, ks = jax.random.split(k)
+        q = jax.random.randint(kq, (L, din if bits == 8 else din // 2, dout),
+                               -127, 127, jnp.int8)
+        scales = jax.random.uniform(ks, (L, din // group, dout), jnp.float32,
+                                    0.001, 0.02)
+        return [QuantizedLinear(q[i], scales[i], bits, group)
+                for i in range(L)]
+
+    wqkv = qlin_stack(k1, cfg.dim, cfg.dim + 2 * kvd)
+    wo = qlin_stack(k2, cfg.dim, cfg.dim)
+    wgu = qlin_stack(k3, cfg.dim, 2 * cfg.intermediate)
+    wdn = qlin_stack(k4, cfg.intermediate, cfg.dim)
+    layers = [{
+        "attn_norm": jnp.ones((cfg.dim,), cfg.dtype),
+        "wqkv": wqkv[i], "wo": wo[i],
+        "mlp_norm": jnp.ones((cfg.dim,), cfg.dtype),
+        "w_gateup": wgu[i], "w_down": wdn[i],
+    } for i in range(L)]
+    embed = (jax.random.normal(k5, (cfg.vocab_size, cfg.dim), jnp.float32)
+             * 0.02).astype(cfg.dtype)
+
     def qlin(k, din, dout, bits=8, group=128):
         while din % group:
             group //= 2
         kq, ks = jax.random.split(k)
-        q = jax.random.randint(kq, (din if bits == 8 else din // 2, dout),
-                               -127, 127, jnp.int8)
-        ng = din // group
-        scales = jax.random.uniform(ks, (ng, dout), jnp.float32, 0.001, 0.02)
+        q = jax.random.randint(kq, (din, dout), -127, 127, jnp.int8)
+        scales = jax.random.uniform(ks, (din // group, dout), jnp.float32,
+                                    0.001, 0.02)
         return QuantizedLinear(q, scales, bits, group)
 
-    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
-    kvd = cfg.n_kv_heads * cfg.head_dim
-    layers = []
-    for _ in range(cfg.n_layers):
-        layers.append({
-            "attn_norm": jnp.ones((cfg.dim,), cfg.dtype),
-            "wqkv": qlin(next(keys), cfg.dim, cfg.dim + 2 * kvd),
-            "wo": qlin(next(keys), cfg.dim, cfg.dim),
-            "mlp_norm": jnp.ones((cfg.dim,), cfg.dtype),
-            "w_gateup": qlin(next(keys), cfg.dim, 2 * cfg.intermediate),
-            "w_down": qlin(next(keys), cfg.intermediate, cfg.dim),
-        })
-    import jax.numpy as jnp2
-    embed = (jax.random.normal(next(keys), (cfg.vocab_size, cfg.dim),
-                               jnp2.float32) * 0.02).astype(cfg.dtype)
     return {
         "embed": embed,
         "final_norm": jnp.ones((cfg.dim,), cfg.dtype),
-        "lm_head": qlin(next(keys), cfg.dim, cfg.vocab_size),
+        "lm_head": qlin(k6, cfg.dim, cfg.vocab_size),
         "layers": layers,
     }
 
