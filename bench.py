@@ -30,7 +30,9 @@ def build_quant_params(cfg, key):
     L = cfg.n_layers
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
 
-    def qlin_stack(k, din, dout, bits=8, group=128):
+    bits = int(os.environ.get("BENCH_BITS", "8"))
+
+    def qlin_stack(k, din, dout, bits=bits, group=128):
         while din % group:
             group //= 2
         kq, ks = jax.random.split(k)
@@ -54,7 +56,7 @@ def build_quant_params(cfg, key):
     embed = (jax.random.normal(k5, (cfg.vocab_size, cfg.dim), jnp.float32)
              * 0.02).astype(cfg.dtype)
 
-    def qlin(k, din, dout, bits=8, group=128):
+    def qlin(k, din, dout, bits=bits, group=128):
         while din % group:
             group //= 2
         kq, ks = jax.random.split(k)
@@ -154,12 +156,13 @@ def main():
         hbm_gbps = measure_hbm_bw(params) / 1e9
     kv_bytes = (2 * cfg.n_layers * cfg.n_kv_heads * seq_ctx * cfg.head_dim
                 * 2)  # bf16 cache read
-    bytes_per_tok = weight_bytes_per_token(cfg, 8) / batch + kv_bytes
+    bits = int(os.environ.get("BENCH_BITS", "8"))
+    bytes_per_tok = weight_bytes_per_token(cfg, bits) / batch + kv_bytes
     roofline = hbm_gbps * 1e9 / bytes_per_tok
 
     result = {
-        "metric": f"llama2-7b int8 decode tokens/sec/chip (bs={batch}, "
-                  f"ctx={seq_ctx})",
+        "metric": f"llama2-7b int{bits} decode tokens/sec/chip "
+                  f"(bs={batch}, ctx={seq_ctx})",
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / (roofline * batch), 4),

@@ -163,7 +163,7 @@ def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
     import jax.experimental.pallas as pl
 
     s_idx = pl.program_id(2)
-    pos = pos_ref[0]
+    pos = pos_ref[pl.program_id(0)]
     start = s_idx * seq_block
 
     @pl.when(s_idx == 0)
@@ -220,8 +220,7 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 512):
         functools.partial(_flash_decode_kernel, seq_block=seq_block, rep=rep),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b, h, s: (b,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos [B], whole array
             pl.BlockSpec((None, None, rep, D), lambda b, h, s: (b, h, 0, 0)),
             pl.BlockSpec((None, None, seq_block, D),
                          lambda b, h, s: (b, h, s, 0)),

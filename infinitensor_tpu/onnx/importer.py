@@ -774,6 +774,31 @@ class OnnxStub:
             self.handler.change_shape(self.inputs[name], shape)
         self.handler.shape_infer()
 
+    # -- reference API aliases (OnnxStub surface parity) -----------------
+    def init(self) -> None:
+        """Weight restore + malloc (reference onnx.py:1484); memory is
+        XLA's, so this just (re)materializes executor weight arrays."""
+        self.handler._executor = None
+
+    def run_with_cudagraph(self, inputs=None, **kw):
+        """Capture-replay alias: the executor cache IS the capture cache."""
+        return self.run(inputs, **kw)
+
+    def clone_KV(self, cache, src: int, dst: int):
+        from infinitensor_tpu.serving.kvcache import clone_kv_slot
+        return clone_kv_slot(cache, src, dst)
+
+    def free_heap(self, cache, slot: int):
+        from infinitensor_tpu.serving.kvcache import clear_kv_slot
+        return clear_kv_slot(cache, slot)
+
+    def trim_memory(self) -> None:
+        """Drop cached executables/weight arrays (reference trim_memory)."""
+        ex = self.handler._executor
+        if ex is not None:
+            ex._cache.clear()
+            ex._weight_vals = None
+
     def to_onnx(self, name: str = "graph") -> proto.ModelProto:
         from infinitensor_tpu.onnx.exporter import export_onnx
         return export_onnx(self.handler.graph, name=name)

@@ -250,3 +250,79 @@ def test_membound_op_runs(rng):
     got = h.run({"x": x_np}, return_numpy=True)
     np.testing.assert_allclose(list(got.values())[0], x_np @ w.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_nmutator_conv1x1_membound(rng):
+    """NMutator derives a MemBound matmul form of a 1x1 conv and the mutant
+    matches numerically (reference test_mutator.cc / nmutator flow)."""
+    from infinitensor_tpu.nnet.nmutator import NMutator
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+    h = GraphHandler()
+    x = h.input((2, 6, 5, 5), name="x")
+    w = h.weight(rng.standard_normal((8, 6, 1, 1), dtype=np.float32))
+    h.conv(x, w)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((2, 6, 5, 5), dtype=np.float32)
+    ref = _run(h, {"x": x_np})
+    muts = NMutator().run(h.graph)
+    assert muts, "NMutator produced no mutants"
+    mb = muts[0]
+    assert any(op.op_type == "MemBound" for op in mb.operators)
+    got = GraphExecutor(mb).run({"x": x_np}, return_numpy=True)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+def test_search_with_nmutator(rng):
+    from infinitensor_tpu.nnet.nmutator import NMutator
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+    h = GraphHandler()
+    x = h.input((1, 4, 4, 4), name="x")
+    w = h.weight(rng.standard_normal((4, 4, 1, 1), dtype=np.float32))
+    c = h.conv(x, w)
+    h.relu(c)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((1, 4, 4, 4), dtype=np.float32)
+    ref = _run(h, {"x": x_np})
+    best = SearchEngine(mutator=NMutator()).run(h.graph)
+    got = GraphExecutor(best).run({"x": x_np}, return_numpy=True)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+def test_g2bmm_gbmm_vs_oracle(rng):
+    """Longformer band matmuls vs a dense masked oracle
+    (reference test/kernels cuda G2BMM/GBMM)."""
+    h = GraphHandler()
+    b, m, k, w_ = 2, 12, 8, 2
+    a_np = rng.standard_normal((b, m, k), dtype=np.float32)
+    b_np = rng.standard_normal((b, m, k), dtype=np.float32)
+    A = h.input((b, m, k), name="A")
+    B = h.input((b, m, k), name="B")
+    band = h.g2bmm(A, B, width=w_)
+    h.graph.infer_output_roles()
+    out = h.run({"A": a_np, "B": b_np}, return_numpy=True)[band.name]
+    # oracle: out[i, j] = <a_i, b_{i+j-w}> for valid offsets
+    ref = np.zeros((b, m, 2 * w_ + 1), np.float32)
+    for i in range(m):
+        for jo in range(-w_, w_ + 1):
+            src = i + jo
+            if 0 <= src < m:
+                ref[:, i, jo + w_] = np.einsum("bk,bk->b", a_np[:, i],
+                                               b_np[:, src])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    h2 = GraphHandler()
+    A2 = h2.input((b, m, 2 * w_ + 1), name="A2")
+    B2 = h2.input((b, m, k), name="B2")
+    o2 = h2.gbmm(A2, B2)
+    h2.graph.infer_output_roles()
+    band_np = rng.standard_normal((b, m, 2 * w_ + 1), dtype=np.float32)
+    out2 = h2.run({"A2": band_np, "B2": b_np}, return_numpy=True)[o2.name]
+    ref2 = np.zeros((b, m, k), np.float32)
+    for i in range(m):
+        for jo in range(-w_, w_ + 1):
+            src = i + jo
+            if 0 <= src < m:
+                ref2[:, i] += band_np[:, i, jo + w_, None] * b_np[:, src]
+    np.testing.assert_allclose(out2, ref2, rtol=1e-4, atol=1e-5)
