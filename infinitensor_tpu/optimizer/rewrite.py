@@ -24,6 +24,7 @@ def optimize_graph(graph: Graph, level: int = 1) -> Graph:
         if level >= 2:
             changed |= fold_transpose_into_matmul(graph)
             changed |= fuse_bias_into_conv(graph)
+            changed |= fuse_act_into_conv(graph)
     graph.topo_sort()
     return graph
 
@@ -141,6 +142,34 @@ def fuse_bias_into_conv(graph: Graph) -> bool:
             out.role = TensorRole.OUTPUT
             out.name = add_out.name
         graph.remove_tensor(add_out)
+        graph._mutated()
+        changed = True
+    return changed
+
+
+def fuse_act_into_conv(graph: Graph) -> bool:
+    """Conv -> Relu/Gelu/Silu => Conv with act attr (epilogue fusion; the
+    reference's DummyMutator demonstrates the same Conv+Relu fusion,
+    src/core/dummy_mutator.cc:10-45). XLA would fuse these anyway at
+    compile time; folding in the IR keeps graph-level cost models honest."""
+    changed = False
+    for op in list(graph.operators):
+        if op.op_type != "Conv" or op.attrs.get("act"):
+            continue
+        out = op.outputs[0]
+        if len(out.targets) != 1 or out.role == TensorRole.OUTPUT:
+            continue
+        act = out.targets[0]
+        if act.op_type not in ("Relu", "Gelu", "Silu"):
+            continue
+        act_out = act.outputs[0]
+        op.attrs["act"] = act.op_type
+        graph.remove_op(act)
+        _replace_uses(graph, act_out, out)
+        if act_out.role == TensorRole.OUTPUT:
+            out.role = TensorRole.OUTPUT
+            out.name = act_out.name
+        graph.remove_tensor(act_out)
         graph._mutated()
         changed = True
     return changed

@@ -87,16 +87,18 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None
 
 
 def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """[in//2, out] packed -> [in, out] int8 in [-8, 7]."""
-    u = packed.astype(jnp.uint8)
-    lo = (u & 0xF).astype(jnp.int8)
-    hi = ((u >> 4) & 0xF).astype(jnp.int8)
-    # sign-extend nibbles
+    """[in//2, out] packed -> [in, out] int8 in [-8, 7].
+
+    Shifts happen in int32: Mosaic (Pallas TPU) has no shift ops on int8
+    vectors, and int32 is the VPU-native lane width anyway."""
+    u = packed.astype(jnp.int32) & 0xFF
+    lo = u & 0xF
+    hi = (u >> 4) & 0xF
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
     din2, dout = packed.shape
-    out = jnp.stack([lo, hi], axis=1)        # [in//2, 2, out]
-    return out.reshape(din2 * 2, dout)
+    out = jnp.concatenate([lo[:, None, :], hi[:, None, :]], axis=1)
+    return out.reshape(din2 * 2, dout).astype(jnp.int8)
 
 
 def dequantize_weight(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:

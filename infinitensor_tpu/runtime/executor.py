@@ -124,7 +124,15 @@ class GraphExecutor:
                     raise ValueError(f"missing graph input {t.name!r}")
             else:
                 inputs[t.name] = jnp.asarray(inputs[t.name], dtype=t.dtype.jnp())
-        out = self._compiled(inputs)(inputs, self._weight_arrays())
+        try:
+            out = self._compiled(inputs)(inputs, self._weight_arrays())
+        except jax.errors.JaxRuntimeError:
+            # Transient device failure: drop executables + weight buffers and
+            # retrace once (the analog of the reference's CUDA stream
+            # rebuild + handle rebind recovery, cuda_runtime.cc:226-250).
+            self._cache.clear()
+            self._weight_vals = None
+            out = self._compiled(inputs)(inputs, self._weight_arrays())
         if return_numpy:
             return {k: np.asarray(v) for k, v in out.items()}
         return out

@@ -326,3 +326,21 @@ def test_g2bmm_gbmm_vs_oracle(rng):
             if 0 <= src < m:
                 ref2[:, i] += band_np[:, i, jo + w_, None] * b_np[:, src]
     np.testing.assert_allclose(out2, ref2, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_act_fusion(rng):
+    h = GraphHandler()
+    x = h.input((1, 3, 8, 8), name="x")
+    w = h.weight(rng.standard_normal((4, 3, 3, 3), dtype=np.float32))
+    c = h.conv(x, w, pads=(1, 1))
+    h.relu(c)
+    h.graph.infer_output_roles()
+    x_np = rng.standard_normal((1, 3, 8, 8), dtype=np.float32)
+    before = _run(h, {"x": x_np})
+    h.optimize(level=2)
+    types = [op.op_type for op in h.graph.operators]
+    assert "Relu" not in types
+    assert h.graph.operators[0].attrs.get("act") == "Relu"
+    after = _run(h, {"x": x_np})
+    np.testing.assert_allclose(list(after.values())[0],
+                               list(before.values())[0], rtol=1e-5)
