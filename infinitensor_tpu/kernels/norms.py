@@ -41,8 +41,9 @@ def rmsnorm(x, w, eps: float = 1e-6, block_rows: int = 256):
     rows = x.size // d
     x2 = x.reshape(rows, d)
     block_rows = min(block_rows, rows)
-    # Row count must tile; fall back if not.
-    if rows % block_rows:
+    # Row count must tile and be sublane-aligned; tiny row counts (decode
+    # steps) gain nothing from Pallas — let XLA fuse those.
+    if rows % block_rows or rows < 8:
         return rmsnorm_ref(x, w, eps).reshape(orig_shape)
     out = pl.pallas_call(
         functools.partial(_rmsnorm_kernel, eps=eps),

@@ -82,7 +82,16 @@ class TPExecutor:
             else P()
             for name in self._weights
         }
-        in_specs = ({t.name: P() for t in self._inputs}, in_specs_w)
+        def input_spec(t):
+            dim = self.plan.input_placements.get(t.name)
+            if dim is None:
+                return P()
+            entry = [None] * t.rank
+            entry[dim] = ax
+            return P(*entry)
+
+        in_specs = ({t.name: input_spec(t) for t in self._inputs},
+                    in_specs_w)
         out_specs = {t.name: P() for t in self._outputs}
 
         fn = jax.shard_map(self._local_eval, mesh=self.mesh,

@@ -46,6 +46,9 @@ class TPPlan:
     axis_name: str
     weight_layout: dict                # name -> ("replicated" | "stacked")
     sharded_weights: dict              # name -> shard info (dim, groups)
+    input_placements: dict = dataclasses.field(default_factory=dict)
+    # name -> shard dim (int) for graph inputs the planner sharded
+    # (e.g. KV caches on the head dim); absent = replicated
 
     def local_weight(self, name: str, array: np.ndarray, rank: int
                      ) -> np.ndarray:
@@ -418,8 +421,13 @@ class TPPlanner:
         layout = {w.name: ("stacked" if w.name in self.sharded_weights
                            else "replicated")
                   for w in self.g.weights()}
+        input_placements = {}
+        for t in self.g.inputs():
+            plc = self.P(t)
+            if isinstance(plc, Shard):
+                input_placements[t.name] = plc.dim
         return TPPlan(self.g, self.tp, self.axis, layout,
-                      dict(self.sharded_weights))
+                      dict(self.sharded_weights), input_placements)
 
     def _decompose_bias(self, op: Operator) -> None:
         """Gemm/MatMul with bias -> MatMul + Add so row-parallel bias adds

@@ -144,3 +144,50 @@ def test_comm_ops_via_shard_map(rng):
                                 out_specs=P("tp"), check_vma=False))(x)
     expected = np.tile(np.asarray(x).sum(0, keepdims=True), (4, 1))
     np.testing.assert_allclose(np.asarray(out), expected)
+
+
+@needs_devices
+def test_tp_attention_kvcache_parity(rng):
+    """Decode-attention graph sharded on the head dim (reference
+    distributed GPT-2/Llama harness pattern), through ONNX round-trip +
+    planner + shard_map."""
+    from infinitensor_tpu.onnx.exporter import export_onnx
+    from infinitensor_tpu.onnx.importer import OnnxStub
+    B, H, S, D = 1, 8, 32, 16
+    dim = H * D
+    h = GraphHandler()
+    kc = h.input((B, H, S, D), name="kc")
+    vc = h.input((B, H, S, D), name="vc")
+    x = h.input((B, 1, dim), name="x")
+    wq = h.weight(rng.standard_normal((dim, dim), dtype=np.float32))
+    wk = h.weight(rng.standard_normal((dim, dim), dtype=np.float32))
+    wv = h.weight(rng.standard_normal((dim, dim), dtype=np.float32))
+    q = h.transpose(h.reshape(h.matmul(x, wq), (B, 1, H, D)),
+                    perm=[0, 2, 1, 3])
+    k = h.transpose(h.reshape(h.matmul(x, wk), (B, 1, H, D)),
+                    perm=[0, 2, 1, 3])
+    v = h.transpose(h.reshape(h.matmul(x, wv), (B, 1, H, D)),
+                    perm=[0, 2, 1, 3])
+    pos = h.weight(np.array([5], np.int32), name="pos")
+    att, kco, vco = h.attention_kvcache(kc, vc, q, k, v, pos)
+    merged = h.reshape(h.transpose(att, perm=[0, 2, 1, 3]), (B, 1, dim))
+    wo = h.weight(rng.standard_normal((dim, dim), dtype=np.float32))
+    h.matmul(merged, wo)
+    h.graph.infer_output_roles()
+    # drop cache outputs from the comparison surface: keep only final matmul
+    for t in (kco, vco):
+        t.role = t.role.__class__.OTHERS
+
+    feeds = {"kc": rng.standard_normal((B, H, S, D), dtype=np.float32),
+             "vc": rng.standard_normal((B, H, S, D), dtype=np.float32),
+             "x": rng.standard_normal((B, 1, dim), dtype=np.float32)}
+    ref = h.run(feeds, return_numpy=True)
+
+    # ONNX round-trip first (custom-domain ops), then plan TP
+    stub = OnnxStub(export_onnx(h.graph).serialize())
+    plan = plan_tensor_parallel(stub.handler.graph, tp=4)
+    assert plan.sharded_weights, "attention graph did not shard"
+    ex = TPExecutor(plan, make_mesh({"tp": 4}, jax.devices()[:4]))
+    got = ex.run(feeds, return_numpy=True)
+    for key in ref:
+        np.testing.assert_allclose(got[key], ref[key], rtol=5e-4, atol=5e-4)
