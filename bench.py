@@ -60,7 +60,8 @@ def build_quant_params(cfg, key):
         while din % group:
             group //= 2
         kq, ks = jax.random.split(k)
-        q = jax.random.randint(kq, (din, dout), -127, 127, jnp.int8)
+        q = jax.random.randint(kq, (din if bits == 8 else din // 2, dout),
+                               -127, 127, jnp.int8)
         scales = jax.random.uniform(ks, (din // group, dout), jnp.float32,
                                     0.001, 0.02)
         return QuantizedLinear(q, scales, bits, group)

@@ -2,17 +2,24 @@
 
 The decode-time hot op of quantized serving (BASELINE north star: >=85% of
 dequant+matmul roofline). Decode matmuls are memory-bound on the *weights*:
-activations are [B<=32, din] but weights are [din, dout] — so the kernel's
-job is to stream int8/int4 weight tiles HBM->VMEM exactly once, dequantize
-in-registers, and feed the MXU, with the grid over output tiles so XLA's
-Pallas pipeliner double-buffers the weight stream.
+activations are [B<=32, din] but weights are [din, dout] — the kernel streams
+int8/int4 weight tiles HBM->VMEM exactly once, dequantizes in-registers, and
+feeds the MXU.
 
-jnp reference: quant_matmul_ref (used as oracle on CPU).
+Structure: grid over output tiles; the packed weight tile [din, bn] sits in
+VMEM (pipeliner double-buffers it across grid steps) and a *static* Python
+loop dequantizes chunk-by-chunk — chunking bounds the fp32/int32 dequant
+intermediates (int4's unpack needs int32: Mosaic has no int8 vector shifts)
+while static slices sidestep Mosaic's block divisibility rules for odd
+group/dim combinations.
+
+jnp reference: quant_matmul_ref (oracle on CPU).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -29,37 +36,45 @@ def quant_matmul_ref(x, q: QuantizedLinear):
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _kernel_int8(x_ref, qw_ref, sc_ref, o_ref, *, group_size):
-    import jax.experimental.pallas as pl  # noqa: F401
-
-    qw = qw_ref[:, :]                                   # [din, bn] int8
-    din, bn = qw.shape
-    ng = din // group_size
-    wf = qw.astype(jnp.float32).reshape(ng, group_size, bn)
-    wf = wf * sc_ref[:, :].reshape(ng, 1, bn)
-    w = wf.reshape(din, bn).astype(jnp.bfloat16)
-    x = x_ref[:, :]
-    o_ref[:, :] = jnp.dot(x, w, preferred_element_type=jnp.float32
-                          ).astype(o_ref.dtype)
-
-
-def _kernel_int4(x_ref, qw_ref, sc_ref, o_ref, *, group_size):
-    qw = _unpack_int4(qw_ref[:, :])                     # [din, bn] int8
-    din, bn = qw.shape
-    ng = din // group_size
-    wf = qw.astype(jnp.float32).reshape(ng, group_size, bn)
-    wf = wf * sc_ref[:, :].reshape(ng, 1, bn)
-    w = wf.reshape(din, bn).astype(jnp.bfloat16)
-    o_ref[:, :] = jnp.dot(x_ref[:, :], w, preferred_element_type=jnp.float32
-                          ).astype(o_ref.dtype)
+def _kernel(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size, chunk):
+    pack = 1 if bits == 8 else 2
+    din = qw_ref.shape[0] * pack
+    bn = qw_ref.shape[1]
+    n_chunks = din // chunk
+    ng_c = chunk // group_size
+    acc = jnp.zeros((x_ref.shape[0], bn), jnp.float32)
+    for c in range(n_chunks):
+        qc = qw_ref[c * (chunk // pack):(c + 1) * (chunk // pack), :]
+        if bits == 4:
+            qc = _unpack_int4(qc)
+        sc = sc_ref[c * ng_c:(c + 1) * ng_c, :]
+        wf = qc.astype(jnp.float32).reshape(ng_c, group_size, bn)
+        wf = wf * sc.reshape(ng_c, 1, bn)
+        w = wf.reshape(chunk, bn).astype(jnp.bfloat16)
+        xc = x_ref[:, c * chunk:(c + 1) * chunk]
+        acc = acc + jnp.dot(xc, w, preferred_element_type=jnp.float32)
+    o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
-def _pick_block(dout: int, din: int, vmem_budget: int = 4 * 1024 * 1024
-                ) -> int:
-    """Largest lane-aligned (multiple of 128) divisor of dout whose weight
-    block fits the VMEM budget (the Pallas pipeliner double-buffers the
-    int8 block, so din*block must stay well under VMEM)."""
-    cap = max(128, vmem_budget // max(din, 1))
+def _pick_chunk(din: int, group: int, bits: int) -> int:
+    """Chunk: multiple of the scale group dividing din, sized so dequant
+    intermediates stay small (int4 makes ~10x the chunk bytes in int32)."""
+    target = 2048 if bits == 8 else 512
+    best = 0
+    b = group
+    while b <= din:
+        if din % b == 0 and b <= target:
+            best = b
+        b += group
+    return best or (din if din % group == 0 else 0)
+
+
+def _pick_bn(dout: int, din: int, bits: int) -> int:
+    """Output tile: multiple of 128 dividing dout; packed weight tile
+    din*bn/pack bytes capped at ~2MB (double-buffered by the pipeliner)."""
+    pack = 1 if bits == 8 else 2
+    cap_elems = (2 << 20) * pack
+    cap = max(128, cap_elems // max(din, 1))
     best = 0
     b = 128
     while b <= min(cap, dout):
@@ -83,29 +98,27 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0):
     for d in lead:
         rows *= d
     x2 = x.reshape(rows, din)
-    # tiny row counts still need an MXU-friendly sublane count; pad to 8
-    pad_rows = max(8, rows)
+    pad_rows = max(8, rows)  # MXU-friendly sublane count
     if pad_rows != rows:
         x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
-    bn = block_out or _pick_block(dout, din)
-    if bn == 0 or dout % bn:
+
+    chunk = _pick_chunk(din, q.group_size, q.bits)
+    bn = block_out or _pick_bn(dout, din, q.bits)
+    if chunk == 0 or bn == 0 or chunk % 128 or pad_rows > 256:
         return quant_matmul_ref(x, q)
+    pack = 1 if q.bits == 8 else 2
     ng = q.scales.shape[0]
-    qrows = q.qweight.shape[0]
-    kernel = _kernel_int4 if q.bits == 4 else _kernel_int8
+
     out = pl.pallas_call(
-        functools.partial(kernel, group_size=q.group_size),
+        functools.partial(_kernel, bits=q.bits, group_size=q.group_size,
+                          chunk=chunk),
         grid=(dout // bn,),
         in_specs=[
-            pl.BlockSpec((pad_rows, din), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qrows, bn), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, bn), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pad_rows, din), lambda j: (0, 0)),
+            pl.BlockSpec((din // pack, bn), lambda j: (0, j)),
+            pl.BlockSpec((ng, bn), lambda j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((pad_rows, bn), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((pad_rows, bn), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
     )(x2, q.qweight, q.scales)
     return out[:rows].reshape(*lead, dout)

@@ -42,12 +42,20 @@ class Request:
 
 
 class ServingEngine:
+    """Model-agnostic continuous batcher. Defaults to the Llama family;
+    pass prefill_fn/decode_fn/init_cache_fn for other model families
+    (gpt2: gpt2_prefill/gpt2_decode_step/init_gpt2_cache)."""
+
     def __init__(self, params, cfg, max_slots: int = 8,
-                 prefill_buckets: tuple = (32, 128, 512)):
+                 prefill_buckets: tuple = (32, 128, 512),
+                 prefill_fn=None, decode_fn=None, init_cache_fn=None):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
-        self.cache = init_kv_cache(cfg, max_slots)
+        self._init_cache = init_cache_fn or init_kv_cache
+        prefill_fn = prefill_fn or llama_prefill
+        decode_fn = decode_fn or llama_decode_step
+        self.cache = self._init_cache(cfg, max_slots)
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= cfg.max_seq) or (cfg.max_seq,)
 
@@ -57,9 +65,9 @@ class ServingEngine:
         self.last_token = np.zeros(max_slots, np.int32)
 
         self._prefill = jax.jit(
-            lambda p, t, c: llama_prefill(p, cfg, t, c))
+            lambda p, t, c: prefill_fn(p, cfg, t, c))
         self._decode = jax.jit(
-            lambda p, t, ps, c: llama_decode_step(p, cfg, t, ps, c),
+            lambda p, t, ps, c: decode_fn(p, cfg, t, ps, c),
             donate_argnums=3)
         self.steps = 0
         self.tokens_out = 0
@@ -88,8 +96,8 @@ class ServingEngine:
             bucket = self._bucket(S)
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :S] = req.prompt
-            pcache = init_kv_cache(self.cfg, 1, max_seq=bucket,
-                                   dtype=self.cache["k"][0].dtype)
+            pcache = self._init_cache(self.cfg, 1, max_seq=bucket,
+                                      dtype=self.cache["k"][0].dtype)
             logits, pcache = self._prefill(self.params,
                                            jnp.asarray(toks), pcache)
             self.cache = write_prefill_into_slot(self.cache, pcache, slot)

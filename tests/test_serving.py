@@ -79,3 +79,20 @@ def test_clone_and_clear_slot(cfg, params):
     cache = clear_kv_slot(cache, 1)
     assert float(cache["k"][0][1].max()) == 0.0
     assert float(cache["k"][1][3].min()) == 1.5
+
+
+def test_engine_with_gpt2(cfg, params):
+    """Continuous batching over the GPT-2 family (model-agnostic engine)."""
+    from infinitensor_tpu.models.gpt2 import (
+        GPT2Config, init_gpt2_params, gpt2_prefill, gpt2_decode_step,
+        init_gpt2_cache)
+    gcfg = GPT2Config.tiny(dtype=jnp.float32)
+    gparams = init_gpt2_params(gcfg, jax.random.PRNGKey(5),
+                               dtype=jnp.float32)
+    eng = ServingEngine(gparams, gcfg, max_slots=2, prefill_buckets=(8,),
+                        prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
+                        init_cache_fn=init_gpt2_cache)
+    reqs = [eng.submit([3, 1, 4], max_new_tokens=4),
+            eng.submit([1, 5], max_new_tokens=4)]
+    eng.run_to_completion()
+    assert all(r.done and len(r.generated) == 4 for r in reqs)

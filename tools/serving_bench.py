@@ -1,0 +1,58 @@
+"""GPT-2 345M INT8 continuous-batching throughput on one chip
+(BASELINE config 3: "GPT-2 345M INT8 weight-only with KV-cache, continuous
+batching on 1 host — functional + throughput report").
+
+Run: python tools/serving_bench.py  (uses the real TPU; one process at a time)
+"""
+
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+print = functools.partial(print, flush=True)
+
+
+def main():
+    import jax
+    import numpy as np
+    from infinitensor_tpu.models.gpt2 import (
+        GPT2Config, init_gpt2_params, quantize_gpt2_params, gpt2_prefill,
+        gpt2_decode_step, init_gpt2_cache)
+    from infinitensor_tpu.serving import ServingEngine
+
+    cfg = GPT2Config(max_seq=1024)      # 345M geometry
+    t0 = time.time()
+    params = init_gpt2_params(cfg, jax.random.PRNGKey(0))
+    params = quantize_gpt2_params(params, bits=8, group_size=128)
+    params = jax.block_until_ready(params)
+    build_s = time.time() - t0
+
+    eng = ServingEngine(params, cfg, max_slots=8,
+                        prefill_buckets=(64, 256),
+                        prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
+                        init_cache_fn=init_gpt2_cache)
+    rng = np.random.default_rng(0)
+    n_req = 24
+    reqs = [eng.submit(list(rng.integers(1, 50000, int(n))),
+                       max_new_tokens=64)
+            for n in rng.integers(16, 250, n_req)]
+    t0 = time.time()
+    eng.run_to_completion()
+    dt = time.time() - t0
+    result = {
+        "metric": "gpt2-345m int8 continuous batching tokens/s (8 slots)",
+        "value": round(eng.tokens_out / dt, 1),
+        "unit": "tokens/s",
+        "requests": n_req,
+        "decode_steps": eng.steps,
+        "wall_s": round(dt, 1),
+        "build_s": round(build_s, 1),
+    }
+    print(json.dumps(result))
+    assert all(r.done for r in reqs)
+
+
+if __name__ == "__main__":
+    main()
