@@ -90,3 +90,15 @@ def evaluate_expr(comp: Comprehension, arrays: list) -> list:
     names = [t.name for t in comp.inputs()]
     feeds = dict(zip(names, arrays))
     return [evaluate(comp, feeds)]
+
+
+def evaluate_program(program, feeds: dict) -> jnp.ndarray:
+    """Evaluate a multi-stage Program (nnet/rules.py) stage by stage; each
+    stage's output becomes a feed for later stages. Returns the last stage's
+    value (the reference evaluates nested RangeOps the same way)."""
+    env = dict(feeds)
+    val = None
+    for stage in program.stages:
+        val = evaluate(stage.comp, env)
+        env[stage.name] = val
+    return val

@@ -2,96 +2,110 @@
 
 The analog of the reference NMutator (reference include/nnet/nmutator.h:7-57,
 src/nnet/nmutator.cc): bridges the graph IR and the expression IR — convert
-an op to a comprehension (opToExpression), derive equivalent forms, match
-library calls back out (Rule-6), and wrap unmatched residue in a MemBound op
+an op to a comprehension (opToExpression), run the Derivator, and lower each
+candidate program back to a graph (expressionToGraph): routine-matched stages
+become library ops (MatMul), data-movement/DLT stages become MemBound ops
 whose "kernel" is the expression evaluator (XLA-compiled at trace time,
-replacing the reference's TVM JIT).
+replacing the reference's TVM JIT, src/kernels/cuda/
+membound_tvm_packed_function.cc).
 
-Every derivation is validated numerically against the evaluator oracle
-before being offered as a mutant (the reference's Interpreter-check
-pattern).
+Every candidate is validated numerically against the evaluator oracle inside
+the Derivator before being offered as a mutant (the reference's
+Interpreter-check pattern).
 """
 
 from __future__ import annotations
 
-import numpy as np
+from typing import Optional
 
-from infinitensor_tpu.core import dtype as dt
 from infinitensor_tpu.core.graph import Graph
 from infinitensor_tpu.core.operator import Operator
-from infinitensor_tpu.core.tensor import TensorObj, TensorRole
-from infinitensor_tpu.nnet.derivation import (
-    conv1x1_to_matmul_expr, match_matmul, op_to_expr,
-)
-from infinitensor_tpu.nnet.evaluator import evaluate
+from infinitensor_tpu.core.tensor import TensorObj
+from infinitensor_tpu.nnet.derivation import op_to_expr
+from infinitensor_tpu.nnet.derivator import Derivator
+from infinitensor_tpu.nnet.rules import Program, Stage
 from infinitensor_tpu.optimizer.mutator import Mutator
+
+#: comprehension input names in op-input order (matches op_to_expr naming)
+OP_INPUT_NAMES = {
+    "Conv": ["X", "W"],
+    "MatMul": ["A", "B"],
+    "G2BMM": ["A", "B"],
+}
 
 
 class NMutator(Mutator):
     """Rule-guided expression derivation over single ops (the reference's
     Mode::RuleBased runSingleOp path)."""
 
-    def __init__(self, verify: bool = True):
+    def __init__(self, verify: bool = True, max_depth: int = 2,
+                 max_candidates: int = 2):
         self.verify = verify
+        self.max_depth = max_depth
+        self.max_candidates = max_candidates
 
     def run(self, graph: Graph) -> list[Graph]:
         out = []
         for op in list(graph.operators):
-            mutated = self._mutate_op(graph, op)
-            out.extend(mutated)
+            out.extend(self._mutate_op(graph, op))
         return out
 
     def _mutate_op(self, graph: Graph, op: Operator) -> list[Graph]:
         expr = op_to_expr(op)
-        if expr is None:
+        if expr is None or op.op_type not in OP_INPUT_NAMES:
             return []
+        derivator = Derivator(max_depth=self.max_depth, verify=self.verify)
+        candidates = derivator.derive(Program([Stage("out", expr)]))
         results = []
-        if op.op_type == "Conv":
-            derived = conv1x1_to_matmul_expr(expr)
-            if derived is not None and self._equivalent(expr, derived, op):
-                g = self._conv_as_membound(graph, op, derived)
-                if g is not None:
-                    results.append(g)
+        for cand in candidates[: self.max_candidates]:
+            if cand.n_routines == 0:
+                continue  # pure-membound rewrite: no algorithmic gain
+            g = program_to_graph(graph, op, cand.program)
+            if g is not None:
+                results.append(g)
         return results
 
-    def _equivalent(self, a, b, op) -> bool:
-        """Numeric equivalence via the evaluator oracle on random data
-        (modulo the known output reshape between conv and merged form)."""
-        if not self.verify:
-            return True
-        rng = np.random.default_rng(0)
-        x, w = op.inputs[0], op.inputs[1]
-        feeds = {
-            "X": rng.standard_normal(x.shape).astype(np.float32),
-            "W": rng.standard_normal(w.shape).astype(np.float32),
-        }
-        va = np.asarray(evaluate(a, feeds))
-        vb = np.asarray(evaluate(b, feeds))
-        n, f, oh, ow = va.shape
-        vb4 = vb.reshape(n, oh, ow, f).transpose(0, 3, 1, 2)
-        return np.allclose(va, vb4, rtol=1e-4, atol=1e-5)
 
-    def _conv_as_membound(self, graph: Graph, op: Operator, derived):
-        """Replace the conv with a MemBound expression op + reshape/transpose
-        back to NCHW (expressionToGraph with residue)."""
-        m = match_matmul(derived)
-        g = graph.clone()
-        target = next(o for o in g.operators if o.name == op.name)
-        x, w = target.inputs[0], target.inputs[1]
-        out = target.outputs[0]
-        n, f, oh, ow = out.shape
-        g.remove_op(target)
-        flat = TensorObj((n * oh * ow, f), out.dtype)
-        g.add_tensor(flat)
-        g.add_op(Operator("MemBound", [x, w], [flat], {
-            "expr": derived,
-            "out_specs": [((n * oh * ow, f), out.dtype)],
-        }))
-        shaped = TensorObj((n, oh, ow, f), out.dtype)
-        g.add_tensor(shaped)
-        g.add_op(Operator("Reshape", [flat], [shaped],
-                          {"shape": [n, oh, ow, f]}))
-        g.add_op(Operator("Transpose", [shaped], [out],
-                          {"perm": [0, 3, 1, 2]}))
-        g.topo_sort()
-        return g
+def program_to_graph(graph: Graph, op: Operator, program: Program
+                     ) -> Optional[Graph]:
+    """expressionToGraph (reference nmutator.cc): splice a derived program
+    into a clone of the graph in place of ``op``."""
+    g = graph.clone()
+    target = next((o for o in g.operators if o.name == op.name), None)
+    if target is None or len(target.outputs) != 1:
+        return None
+    names = OP_INPUT_NAMES[op.op_type]
+    env = dict(zip(names, target.inputs))
+    out = target.outputs[0]
+    if program.stages[-1].shape != tuple(out.shape):
+        return None
+    g.remove_op(target)
+
+    for stage in program.stages:
+        is_last = stage is program.stages[-1]
+        if is_last:
+            result = out
+        else:
+            result = g.add_tensor(TensorObj(stage.shape, out.dtype))
+        routine = stage.routine or {}
+        if routine.get("kind") == "MatMul":
+            a = env.get(routine["A"].name)
+            b = env.get(routine["B"].name)
+            if a is None or b is None:
+                return None
+            g.add_op(Operator("MatMul", [a, b], [result], {
+                "transA": int(routine["transA"]),
+                "transB": int(routine["transB"]),
+            }))
+        else:
+            try:
+                inputs = [env[t.name] for t in stage.comp.inputs()]
+            except KeyError:
+                return None
+            g.add_op(Operator("MemBound", inputs, [result], {
+                "expr": stage.comp,
+                "out_specs": [(stage.shape, out.dtype)],
+            }))
+        env[stage.name] = result
+    g.topo_sort()
+    return g
