@@ -88,10 +88,24 @@ class Graph:
                 t.role = TensorRole.OUTPUT
 
     # -- topological sort (Kahn; reference graph.cc:152-182) ---------------
+    #: graphs at least this large route through the native C++ scheduler
+    NATIVE_TOPO_THRESHOLD = 64
+
     def topo_sort(self) -> bool:
         if self._sorted:
             return True
         n = len(self.operators)
+        if n >= self.NATIVE_TOPO_THRESHOLD:
+            try:
+                from infinitensor_tpu.native import graph_core
+                order = graph_core.topo_sort(self)
+                if order is None:
+                    return False  # cycle
+                self.operators = order
+                self._sorted = True
+                return True
+            except RuntimeError:
+                pass  # native lib unavailable: Python fallback below
         indegree: dict[int, int] = {}
         waiting: dict[int, list[Operator]] = {}
         for op in self.operators:
