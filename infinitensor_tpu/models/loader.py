@@ -149,3 +149,40 @@ def load_bert_params(path_or_sd, cfg, dtype=jnp.float32,
         "emb_ln_b": _t(sd, e + "LayerNorm.bias", dtype=dtype),
         "layers": layers,
     }
+
+
+def load_opt_params(path_or_sd, cfg, dtype=None,
+                    prefix: str = "model.decoder.") -> dict:
+    """HF OPTForCausalLM layout -> models/opt.py params (q/k/v fused)."""
+    sd = _load_state_dict(path_or_sd)
+    dtype = dtype or cfg.dtype
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}layers.{i}."
+        w_qkv = jnp.concatenate(
+            [_t(sd, p + f"self_attn.{n}_proj.weight", True, dtype)
+             for n in ("q", "k", "v")], axis=1)
+        b_qkv = jnp.concatenate(
+            [_t(sd, p + f"self_attn.{n}_proj.bias", dtype=dtype)
+             for n in ("q", "k", "v")])
+        layers.append({
+            "ln1_g": _t(sd, p + "self_attn_layer_norm.weight", dtype=dtype),
+            "ln1_b": _t(sd, p + "self_attn_layer_norm.bias", dtype=dtype),
+            "w_qkv": w_qkv,
+            "b_qkv": b_qkv,
+            "w_o": _t(sd, p + "self_attn.out_proj.weight", True, dtype),
+            "b_o": _t(sd, p + "self_attn.out_proj.bias", dtype=dtype),
+            "ln2_g": _t(sd, p + "final_layer_norm.weight", dtype=dtype),
+            "ln2_b": _t(sd, p + "final_layer_norm.bias", dtype=dtype),
+            "w_up": _t(sd, p + "fc1.weight", True, dtype),
+            "b_up": _t(sd, p + "fc1.bias", dtype=dtype),
+            "w_down": _t(sd, p + "fc2.weight", True, dtype),
+            "b_down": _t(sd, p + "fc2.bias", dtype=dtype),
+        })
+    return {
+        "wte": _t(sd, f"{prefix}embed_tokens.weight", dtype=dtype),
+        "wpe": _t(sd, f"{prefix}embed_positions.weight", dtype=dtype),
+        "lnf_g": _t(sd, f"{prefix}final_layer_norm.weight", dtype=dtype),
+        "lnf_b": _t(sd, f"{prefix}final_layer_norm.bias", dtype=dtype),
+        "layers": layers,
+    }
