@@ -32,8 +32,13 @@ class PerfEngine:
     def get(self, workload_key, default: Optional[float] = None) -> Optional[float]:
         return self._records.get(_key_str(workload_key), default)
 
-    def set(self, workload_key, time_ms: float) -> None:
-        self._records[_key_str(workload_key)] = float(time_ms)
+    def set(self, workload_key, record) -> None:
+        """record: a time in ms (float) or any JSON-able PerfRecord payload
+        (reference PerfRecord carries time + algorithm choice,
+        include/core/perf_engine.h:8-51)."""
+        if isinstance(record, (int, float)):
+            record = float(record)
+        self._records[_key_str(workload_key)] = record
 
     def __len__(self) -> int:
         return len(self._records)

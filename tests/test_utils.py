@@ -80,3 +80,81 @@ def test_perf_engine_persistence(tmp_path):
     pe2 = PerfEngine()
     pe2.load(p)
     assert pe2.get(("MatMul", ((2, 2),), ())) == 1.25
+
+
+# -- kernel autotuner (reference computeFuncTune analog) ----------------------
+
+def test_tuner_picks_and_caches():
+    import jax.numpy as jnp
+    from infinitensor_tpu.runtime.perf import PerfEngine
+    from infinitensor_tpu.runtime import tuner
+
+    pe = PerfEngine()
+    calls = []
+
+    def make_fn(cfg):
+        def fn(x):
+            calls.append(cfg["k"])
+            return x * cfg["k"]
+        return fn
+
+    x = jnp.ones((8, 8))
+    cfg = tuner.tune("toy", make_fn, [{"k": 1}, {"k": 2}], (x,),
+                     perf_engine=pe, warmup=0, iters=1)
+    assert cfg["k"] in (1, 2)
+    n = len(calls)
+    # second call: cache hit, no timing
+    cfg2 = tuner.tune("toy", make_fn, [{"k": 1}, {"k": 2}], (x,),
+                      perf_engine=pe, warmup=0, iters=1)
+    assert cfg2 == cfg and len(calls) == n
+
+
+def test_tuner_skips_failing_config():
+    import jax.numpy as jnp
+    from infinitensor_tpu.runtime.perf import PerfEngine
+    from infinitensor_tpu.runtime import tuner
+
+    def make_fn(cfg):
+        if cfg["bad"]:
+            raise ValueError("invalid config")
+        return lambda x: x + 1
+
+    x = jnp.ones((4,))
+    cfg = tuner.tune("partial", make_fn, [{"bad": True}, {"bad": False}],
+                     (x,), perf_engine=PerfEngine(), warmup=0, iters=1)
+    assert cfg == {"bad": False}
+
+
+def test_tuner_persists_via_perf_engine(tmp_path):
+    import jax.numpy as jnp
+    from infinitensor_tpu.runtime.perf import PerfEngine
+    from infinitensor_tpu.runtime import tuner
+
+    pe = PerfEngine()
+    x = jnp.ones((4,))
+    tuner.tune("persisted", lambda c: (lambda v: v * c["k"]), [{"k": 3}],
+               (x,), perf_engine=pe, warmup=0, iters=1)
+    path = str(tmp_path / "perf.json")
+    pe.save(path)
+    pe2 = PerfEngine()
+    pe2.load(path)
+    cfg = tuner.tune("persisted", lambda c: 1 / 0, [{"k": 3}], (x,),
+                     perf_engine=pe2)  # make_fn never called on cache hit
+    assert cfg == {"k": 3}
+
+
+def test_tuned_quant_matmul_matches_ref(rng):
+    import jax.numpy as jnp
+    from infinitensor_tpu.quant.weight_only import quantize_weight
+    from infinitensor_tpu.kernels.quant_matmul import quant_matmul_ref
+    from infinitensor_tpu.runtime.perf import PerfEngine
+    from infinitensor_tpu.runtime.tuner import tuned_quant_matmul
+    import numpy as np
+
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    q = quantize_weight(jnp.asarray(w), bits=8, group_size=32)
+    got = tuned_quant_matmul(x, q, perf_engine=PerfEngine())
+    ref = quant_matmul_ref(x, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
