@@ -29,7 +29,8 @@ UNARY_OPS = {
     "Relu", "LeakyRelu", "PRelu", "Elu", "Gelu", "Silu", "Sigmoid",
     "HardSigmoid", "HardSwish", "Tanh", "Erf", "Abs", "Sqrt", "Neg", "Exp",
     "Log", "Reciprocal", "Floor", "Ceil", "Round", "Not", "Softplus", "Sin",
-    "Cos",
+    "Cos", "Tan", "Asin", "Acos", "Atan", "Sinh", "Cosh", "Softsign",
+    "Sign", "BitwiseNot",
 }
 BINARY_OPS = {
     "Add", "Sub", "Mul", "Div", "Pow", "Min", "Max", "Mod",

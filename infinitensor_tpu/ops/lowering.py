@@ -913,3 +913,134 @@ def _recv_l(op, ins, ctx):
 def _membound_l(op, ins, ctx):
     from infinitensor_tpu.nnet.evaluator import evaluate_expr
     return evaluate_expr(op.attrs["expr"], ins)
+
+
+# ---------------------------------------------------------------------------
+# straggler ops from the reference enum
+# ---------------------------------------------------------------------------
+
+_UNARY_FNS.update({
+    "Tan": jnp.tan,
+    "Asin": jnp.arcsin,
+    "Acos": jnp.arccos,
+    "Atan": jnp.arctan,
+    "Sinh": jnp.sinh,
+    "Cosh": jnp.cosh,
+    "Softsign": lambda x: x / (1.0 + jnp.abs(x)),
+    "Sign": jnp.sign,
+    "BitwiseNot": jnp.invert,
+})
+for _n in ("Tan", "Asin", "Acos", "Atan", "Sinh", "Cosh", "Softsign",
+           "Sign", "BitwiseNot"):
+    LOWERINGS[_n] = _unary
+
+
+@register("Det")
+def _det_l(op, ins, ctx):
+    x = ins[0]
+    mode = op.attrs.get("mode", 0)  # 0 = det, 1 = logdet (reference det.h:7)
+    d = jnp.linalg.det(x.astype(jnp.float32)).astype(x.dtype)
+    if mode == 1:
+        d = jnp.log(jnp.abs(d))
+    if x.ndim == 2:
+        d = d.reshape(1)
+    return [d]
+
+
+@register("Extend")
+def _extend_l(op, ins, ctx):
+    x = ins[0]
+    dim = int(op.attrs["dim"]) % x.ndim
+    num = int(op.attrs.get("num", 1))
+    return [jnp.concatenate([x] * (num + 1), axis=dim)]
+
+
+@register("TopK")
+def _topk_l(op, ins, ctx):
+    x = ins[0]
+    k = int(op.attrs["k"])
+    axis = int(op.attrs.get("axis", -1)) % x.ndim
+    largest = int(op.attrs.get("largest", 1))
+    moved = jnp.moveaxis(x, axis, -1)
+    vals, idx = jax.lax.top_k(moved if largest else -moved, k)
+    if not largest:
+        vals = -vals
+    return [jnp.moveaxis(vals, -1, axis),
+            jnp.moveaxis(idx.astype(jnp.int64), -1, axis)]
+
+
+@register("CumSum")
+def _cumsum_l(op, ins, ctx):
+    x = ins[0]
+    axis = int(op.attrs.get("axis", 0))
+    if len(ins) > 1 and ins[1] is not None:
+        axis = int(ins[1])  # ONNX passes axis as an input tensor
+    exclusive = int(op.attrs.get("exclusive", 0))
+    reverse = int(op.attrs.get("reverse", 0))
+    if reverse:
+        x = jnp.flip(x, axis)
+    out = jnp.cumsum(x, axis=axis, dtype=x.dtype)
+    if exclusive:
+        out = out - x
+    if reverse:
+        out = jnp.flip(out, axis)
+    return [out]
+
+
+@register("Trilu")
+def _trilu_l(op, ins, ctx):
+    x = ins[0]
+    k = int(ins[1]) if len(ins) > 1 and ins[1] is not None else \
+        int(op.attrs.get("k", 0))
+    upper = int(op.attrs.get("upper", 1))
+    return [jnp.triu(x, k) if upper else jnp.tril(x, k)]
+
+
+@register("OneHot")
+def _onehot_l(op, ins, ctx):
+    idx = ins[0]
+    depth = int(op.attrs["depth"])
+    axis = int(op.attrs.get("axis", -1))
+    off_v, on_v = op.attrs.get("off_value", 0.0), op.attrs.get("on_value", 1.0)
+    oh = jax.nn.one_hot(idx % depth, depth, axis=axis if axis >= 0 else -1)
+    if axis < 0 and axis != -1:
+        oh = jnp.moveaxis(oh, -1, axis)
+    return [(oh * (on_v - off_v) + off_v)]
+
+
+@register("ReduceL1")
+def _reduce_l1_l(op, ins, ctx):
+    axes = op.attrs.get("axes")
+    keep = bool(op.attrs.get("keepdims", 1))
+    axes = tuple(int(a) for a in axes) if axes is not None else None
+    return [jnp.sum(jnp.abs(ins[0]), axis=axes, keepdims=keep)]
+
+
+@register("ReluBackward")
+def _relu_backward_l(op, ins, ctx):
+    y, dy, x = ins
+    return [jnp.where(x > 0, dy, 0)]
+
+
+@register("SigmoidBackward")
+def _sigmoid_backward_l(op, ins, ctx):
+    y, dy, x = ins
+    return [dy * y * (1 - y)]
+
+
+@register("TanhBackward")
+def _tanh_backward_l(op, ins, ctx):
+    y, dy, x = ins
+    return [dy * (1 - y * y)]
+
+
+@register("SkipRMSNorm")
+def _skip_rmsnorm_l(op, ins, ctx):
+    # Fused residual-add + RMSNorm (appears in optimized serving graphs):
+    # outputs (normed, residual_sum).
+    from infinitensor_tpu.kernels.norms import rmsnorm
+    x, residual, g = ins[0], ins[1], ins[2]
+    s = x + residual
+    eps = float(op.attrs.get("epsilon", 1e-6))
+    out = rmsnorm(s, g, eps=eps)
+    return [out, s] if len(op.outputs) > 1 else [out]

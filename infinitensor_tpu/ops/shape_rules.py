@@ -685,3 +685,73 @@ def _membound(op):
     # Output spec is fixed when the expression is attached
     # (reference src/operators/membound.cc:10-30).
     return [(tuple(s), d) for s, d in op.attrs["out_specs"]]
+
+
+# ---------------------------------------------------------------------------
+# straggler ops from the reference enum (reference include/core/op_type.h)
+# ---------------------------------------------------------------------------
+
+@register("Det")
+def _det(op):
+    # [..., n, n] -> [...] ([1] for rank 2, reference src/operators/det.cc)
+    x = _in(op, 0)
+    if len(x.shape) == 2:
+        return [((1,), x.dtype)]
+    return [(x.shape[:-2], x.dtype)]
+
+
+@register("Extend")
+def _extend(op):
+    # out[dim] = in[dim] * (num + 1)  (reference src/operators/extend.cc)
+    x = _in(op, 0)
+    dim = int(op.attrs["dim"]) % len(x.shape)
+    num = int(op.attrs.get("num", 1))
+    shape = list(x.shape)
+    shape[dim] *= num + 1
+    return [(tuple(shape), x.dtype)]
+
+
+@register("TopK")
+def _topk(op):
+    x = _in(op, 0)
+    k = int(op.attrs["k"])
+    axis = int(op.attrs.get("axis", -1)) % len(x.shape)
+    shape = list(x.shape)
+    shape[axis] = k
+    return [(tuple(shape), x.dtype), (tuple(shape), dt.INT64)]
+
+
+@register("CumSum")
+def _cumsum(op):
+    x = _in(op, 0)
+    return [(x.shape, x.dtype)]
+
+
+@register("Trilu")
+def _trilu(op):
+    x = _in(op, 0)
+    return [(x.shape, x.dtype)]
+
+
+@register("OneHot")
+def _onehot(op):
+    x = _in(op, 0)
+    depth = int(op.attrs["depth"])
+    axis = int(op.attrs.get("axis", -1))
+    shape = list(x.shape)
+    if axis < 0:
+        axis += len(shape) + 1
+    shape.insert(axis, depth)
+    return [(tuple(shape), op.attrs.get("values_dtype", dt.FLOAT32))]
+
+
+@register("ReduceL1")
+def _reduce_l1(op):
+    return SHAPE_RULES["ReduceSum"](op)
+
+
+@register("ReluBackward", "SigmoidBackward", "TanhBackward")
+def _activation_backward(op):
+    # inputs (y, diff_y, x) -> diff_x, all same shape
+    # (reference src/operators/activation_backward.cc)
+    return [(_in(op, 0).shape, _in(op, 0).dtype)]

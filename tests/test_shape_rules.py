@@ -215,3 +215,88 @@ def test_output_spec_mismatch_raises(h):
     bad = h.tensor((3, 3))
     with pytest.raises(ValueError):
         h.relu(x, output=bad)
+
+
+# -- straggler ops (reference op_type.h extras) --------------------------------
+
+def test_straggler_op_execution(rng):
+    """Each newly added op: shape rule agrees with executed result and the
+    numerics match a numpy/jnp oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from infinitensor_tpu.core.handler import GraphHandler
+    from infinitensor_tpu.core import dtype as dt
+
+    def run_single(op_type, arrs, attrs, n_out=1):
+        h = GraphHandler()
+        ins = [h.input(a.shape, dtype=dt.DataType.from_numpy(a.dtype),
+                       name=f"x{i}") for i, a in enumerate(arrs)]
+        h._add(op_type, ins, attrs, n_outputs=n_out)
+        h.graph.infer_output_roles()
+        feeds = {f"x{i}": a for i, a in enumerate(arrs)}
+        out = h.run(feeds, return_numpy=True)
+        return list(out.values())
+
+    x = rng.standard_normal((2, 3, 3)).astype(np.float32)
+    (d,) = run_single("Det", [x], {})
+    np.testing.assert_allclose(d, np.linalg.det(x), rtol=1e-4, atol=1e-5)
+
+    (e,) = run_single("Extend", [x], {"dim": 1, "num": 2})
+    assert e.shape == (2, 9, 3)
+    np.testing.assert_allclose(e, np.concatenate([x] * 3, axis=1))
+
+    v, i = run_single("TopK", [x], {"k": 2, "axis": -1}, n_out=2)
+    ref = np.sort(x, axis=-1)[..., ::-1][..., :2]
+    np.testing.assert_allclose(v, ref, rtol=1e-5)
+
+    (c,) = run_single("CumSum", [x], {"axis": 1})
+    np.testing.assert_allclose(c, np.cumsum(x, axis=1), rtol=1e-4, atol=1e-5)
+
+    (t,) = run_single("Trilu", [x], {"upper": 0})
+    np.testing.assert_allclose(t, np.tril(x))
+
+    idx = rng.integers(0, 5, (2, 4)).astype(np.int32)
+    (oh,) = run_single("OneHot", [idx], {"depth": 5})
+    assert oh.shape == (2, 4, 5)
+    np.testing.assert_allclose(oh.argmax(-1), idx)
+
+    (l1,) = run_single("ReduceL1", [x], {"axes": [2], "keepdims": 1})
+    np.testing.assert_allclose(l1, np.abs(x).sum(2, keepdims=True),
+                               rtol=1e-4, atol=1e-5)
+
+    for name in ("Tan", "Asin", "Acos", "Atan", "Sinh", "Cosh",
+                 "Softsign", "Sign"):
+        y = rng.uniform(-0.9, 0.9, (4, 4)).astype(np.float32)
+        (got,) = run_single(name, [y], {})
+        ref = {"Tan": np.tan, "Asin": np.arcsin, "Acos": np.arccos,
+               "Atan": np.arctan, "Sinh": np.sinh, "Cosh": np.cosh,
+               "Softsign": lambda v: v / (1 + np.abs(v)),
+               "Sign": np.sign}[name](y)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_activation_backward_matches_torch(rng):
+    import numpy as np
+    torch = __import__("pytest").importorskip("torch")
+    from infinitensor_tpu.core.handler import GraphHandler
+    from infinitensor_tpu.core import dtype as dt
+
+    x_np = rng.standard_normal((3, 5)).astype(np.float32)
+    dy_np = rng.standard_normal((3, 5)).astype(np.float32)
+    for name, tfn in (("ReluBackward", torch.relu),
+                      ("SigmoidBackward", torch.sigmoid),
+                      ("TanhBackward", torch.tanh)):
+        xt = torch.tensor(x_np, requires_grad=True)
+        yt = tfn(xt)
+        yt.backward(torch.tensor(dy_np))
+        ref = xt.grad.numpy()
+        y_np = yt.detach().numpy()
+        h = GraphHandler()
+        y = h.input((3, 5), name="y")
+        dy = h.input((3, 5), name="dy")
+        xx = h.input((3, 5), name="x")
+        h._add(name, [y, dy, xx], {})
+        h.graph.infer_output_roles()
+        out = h.run({"y": y_np, "dy": dy_np, "x": x_np}, return_numpy=True)
+        np.testing.assert_allclose(list(out.values())[0], ref,
+                                   rtol=1e-4, atol=1e-5)
