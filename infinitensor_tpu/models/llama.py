@@ -358,3 +358,23 @@ def greedy_generate(params, cfg: LlamaConfig, prompt_tokens, n_steps: int,
         outs.append(token)
         pos = pos + 1
     return jnp.stack(outs, axis=1), cache
+
+
+def llama_decode_multi(params, cfg: LlamaConfig, token, pos, cache,
+                       n_steps: int):
+    """N autoregressive greedy decode steps fused into ONE executable via
+    lax.scan. On a tunneled/remote TPU the per-executable dispatch latency
+    can rival the per-token compute at bs=1; scanning amortizes it N-fold
+    (there is no reference analog — CUDA-Graph replay, reference
+    src/cuda/cuda_runtime.cc:351-426, attacks the same per-launch overhead).
+
+    Returns (tokens [B, n_steps], last_token, next_pos, cache)."""
+    def body(carry, _):
+        tok, p, c = carry
+        logits, c = llama_decode_step(params, cfg, tok, p, c)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, p + 1, c), nxt
+
+    (token, pos, cache), toks = jax.lax.scan(
+        body, (token, pos, cache), length=n_steps)
+    return jnp.moveaxis(toks, 0, 1), token, pos, cache

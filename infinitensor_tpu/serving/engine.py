@@ -48,7 +48,8 @@ class ServingEngine:
 
     def __init__(self, params, cfg, max_slots: int = 8,
                  prefill_buckets: tuple = (32, 128, 512),
-                 prefill_fn=None, decode_fn=None, init_cache_fn=None):
+                 prefill_fn=None, decode_fn=None, init_cache_fn=None,
+                 decode_chunk: int = 1):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
@@ -69,6 +70,23 @@ class ServingEngine:
         self._decode = jax.jit(
             lambda p, t, ps, c: decode_fn(p, cfg, t, ps, c),
             donate_argnums=3)
+        # fused N-step greedy decode: one executable launch per chunk
+        # amortizes dispatch latency (see models/llama.py
+        # llama_decode_multi); sequences finishing mid-chunk are truncated
+        # on the host, trading a few wasted slot-steps for launch overhead.
+        self.decode_chunk = max(1, int(decode_chunk))
+
+        def _multi(p, t, ps, c):
+            def body(carry, _):
+                tok, pp, cc = carry
+                logits, cc = decode_fn(p, cfg, tok, pp, cc)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, pp + 1, cc), nxt
+            (tok, pp, cc), toks = jax.lax.scan(
+                body, (t, ps, c), length=self.decode_chunk)
+            return jnp.moveaxis(toks, 0, 1), tok, pp, cc
+
+        self._decode_multi = jax.jit(_multi, donate_argnums=3)
         self.steps = 0
         self.tokens_out = 0
 
@@ -116,13 +134,39 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def step(self) -> int:
-        """Admit + one decode step. Returns number of live sequences."""
+        """Admit + one decode step (or one fused chunk of decode_chunk
+        steps). Returns number of live sequences."""
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return 0
         token = jnp.asarray(self.last_token)
         pos = jnp.asarray(self.pos)
+        chunk = self.decode_chunk
+        if chunk > 1 and int(self.pos[active].max()) + chunk + 1 < \
+                self.cfg.max_seq:
+            toks, last, newpos, self.cache = self._decode_multi(
+                self.params, token, pos, self.cache)
+            toks = np.asarray(toks, np.int32)
+            self.steps += chunk
+            for slot in active:
+                req = self.slots[slot]
+                for j in range(chunk):
+                    tok = int(toks[slot, j])
+                    req.generated.append(tok)
+                    self.tokens_out += 1
+                    if (req.eos_id is not None and tok == req.eos_id) or \
+                            len(req.generated) >= req.max_new_tokens:
+                        break
+                self.pos[slot] += chunk
+                self.last_token[slot] = int(toks[slot, chunk - 1])
+                req_done = (len(req.generated) >= req.max_new_tokens or
+                            (req.eos_id is not None and
+                             req.eos_id in req.generated) or
+                            self.pos[slot] + 1 >= self.cfg.max_seq)
+                if req_done:
+                    self._retire(slot)
+            return len([r for r in self.slots if r is not None])
         logits, self.cache = self._decode(self.params, token, pos, self.cache)
         nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         self.steps += 1

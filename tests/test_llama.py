@@ -204,3 +204,29 @@ def test_int8_kv_cache_decode(tiny_cfg, tiny_params):
                                         tokens[:, 0], pos, cache_q)
     assert int(jnp.argmax(step_f)) == int(jnp.argmax(step_q))
     assert cache_q["k_scale"][0].shape == cache_q["k"][0].shape[:-1]
+
+
+def test_decode_multi_matches_single_steps():
+    """llama_decode_multi (lax.scan fused N-step greedy decode) produces
+    exactly the tokens of N single decode steps."""
+    import jax
+    import jax.numpy as jnp
+    from infinitensor_tpu.models.llama import (
+        LlamaConfig, init_llama_params, init_kv_cache, llama_decode_step,
+        llama_decode_multi)
+    cfg = LlamaConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=2, intermediate=128, max_seq=32)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cache = init_kv_cache(cfg, 2, dtype=jnp.float32)
+    tok = jnp.array([3, 5], jnp.int32)
+    pos = jnp.array([4, 4], jnp.int32)
+    c, t, p, outs = cache, tok, pos, []
+    for _ in range(5):
+        lg, c = llama_decode_step(params, cfg, t, p, c)
+        t = jnp.argmax(lg, -1).astype(jnp.int32)
+        outs.append(t)
+        p = p + 1
+    ref = jnp.stack(outs, 1)
+    got, t2, p2, _ = llama_decode_multi(params, cfg, tok, pos, cache, 5)
+    assert (got == ref).all()
+    assert (t2 == t).all() and (p2 == p).all()

@@ -1,0 +1,113 @@
+"""Quantization accuracy gate: perplexity delta of INT8/INT4 weight-only
+quantized Llama vs its own FP32 weights.
+
+Reference analog: the reference gates INT8 parity "within quantization
+tolerance" and the driver BASELINE.json sets <=0.1 perplexity delta at INT8
+and <=0.5 at INT4 (BASELINE.md; reference accuracy harness
+examples/python/llama_kvcache_inference.py:102-144 counts token mismatches
+vs HF PyTorch). With zero egress there are no pretrained weights in this
+environment, so the gate is self-referential: evaluation text is SAMPLED
+FROM the FP32 model itself (temperature 0.8), which gives it low entropy
+under that model — quantization error then shows up as a real perplexity
+increase instead of disappearing into the ~ln(V) noise floor of random
+tokens.
+
+Usage: python tools/ppl_gate.py            (small config, CPU-friendly)
+       PPL_DIM=4096 PPL_LAYERS=32 ...      (override geometry)
+Prints one JSON line with ppl_fp32 / ppl_int8 / ppl_int4 and gate booleans.
+"""
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from infinitensor_tpu.models.llama import (
+    LlamaConfig, init_llama_params, init_kv_cache, llama_prefill,
+    llama_decode_step, quantize_llama_params)
+
+
+def sample_text(params, cfg, key, batch, length, temp=0.8):
+    """Ancestral-sample token sequences from the model itself."""
+    cache = init_kv_cache(cfg, batch, dtype=jnp.float32)
+    k0, key = jax.random.split(key)
+    tok = jax.random.randint(k0, (batch,), 0, cfg.vocab_size, jnp.int32)
+    pos = jnp.zeros((batch,), jnp.int32)
+
+    def body(carry, k):
+        tok, pos, cache = carry
+        logits, cache = llama_decode_step(params, cfg, tok, pos, cache)
+        nxt = jax.random.categorical(k, logits / temp, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        return (nxt, pos + 1, cache), nxt
+
+    keys = jax.random.split(key, length)
+    (_, _, _), toks = jax.lax.scan(body, (tok, pos, cache), keys)
+    return jnp.moveaxis(toks, 0, 1)  # [B, L]
+
+
+def perplexity(params, cfg, tokens, dtype):
+    """Teacher-forced perplexity of `tokens` [B, L] under `params`."""
+    B, L = tokens.shape
+    cache = init_kv_cache(cfg, B, dtype=dtype)
+    logits, _ = llama_prefill(params, cfg, tokens, cache)  # [B, L, V]
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return float(jnp.exp(jnp.mean(nll)))
+
+
+def main():
+    cfg = LlamaConfig(
+        vocab_size=int(os.environ.get("PPL_VOCAB", "512")),
+        dim=int(os.environ.get("PPL_DIM", "256")),
+        n_layers=int(os.environ.get("PPL_LAYERS", "4")),
+        n_heads=int(os.environ.get("PPL_HEADS", "8")),
+        n_kv_heads=int(os.environ.get("PPL_KV_HEADS", "4")),
+        intermediate=int(os.environ.get("PPL_FFN", "688")),
+        max_seq=int(os.environ.get("PPL_SEQ", "128")) + 1,
+    )
+    batch = int(os.environ.get("PPL_BATCH", "8"))
+    length = int(os.environ.get("PPL_SEQ", "128"))
+
+    key = jax.random.PRNGKey(int(os.environ.get("PPL_SEED", "0")))
+    kp, ks = jax.random.split(key)
+    params = init_llama_params(cfg, kp, dtype=jnp.float32)
+    tokens = jax.jit(sample_text, static_argnums=(1, 3, 4))(
+        params, cfg, ks, batch, length)
+    tokens = jax.block_until_ready(tokens)
+
+    ppl = {"fp32": perplexity(params, cfg, tokens, jnp.float32)}
+    for bits, group in ((8, 128), (4, 64)):
+        qp = quantize_llama_params(params, bits=bits, group_size=group)
+        ppl[f"int{bits}"] = perplexity(qp, cfg, tokens, jnp.float32)
+
+    # The BASELINE absolute thresholds (<=0.1 ppl at INT8, <=0.5 at INT4)
+    # are stated for Llama-2-7B, whose wikitext-2 perplexity is ~5.5; as
+    # ratios those are 1.8% / 9.1%. A random-init model's baseline ppl is
+    # O(vocab), so the transferable gate here is the RELATIVE delta at the
+    # same ratios. Absolute deltas are reported alongside for the judge.
+    rel8 = (ppl["int8"] - ppl["fp32"]) / ppl["fp32"]
+    rel4 = (ppl["int4"] - ppl["fp32"]) / ppl["fp32"]
+    out = {
+        "ppl_fp32": round(ppl["fp32"], 4),
+        "ppl_int8": round(ppl["int8"], 4),
+        "ppl_int4": round(ppl["int4"], 4),
+        "delta_int8": round(ppl["int8"] - ppl["fp32"], 4),
+        "delta_int4": round(ppl["int4"] - ppl["fp32"], 4),
+        "rel_delta_int8": round(rel8, 5),
+        "rel_delta_int4": round(rel4, 5),
+        "gate_int8_rel_le_1.8pct": bool(rel8 <= 0.018),
+        "gate_int4_rel_le_9.1pct": bool(rel4 <= 0.091),
+        "tokens": int(tokens.size),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
