@@ -31,11 +31,16 @@ UNARY_OPS = {
     "Log", "Reciprocal", "Floor", "Ceil", "Round", "Not", "Softplus", "Sin",
     "Cos", "Tan", "Asin", "Acos", "Atan", "Sinh", "Cosh", "Softsign",
     "Sign", "BitwiseNot",
+    # attr-carrying activations (alpha/gamma/lambd read from op.attrs with
+    # ONNX defaults); shape/dtype-preserving so they share the unary rule
+    "Asinh", "Acosh", "Atanh", "Rsqrt", "Square", "Mish", "Selu", "Celu",
+    "ThresholdedRelu", "Shrink", "Hardtanh", "Hardmax",
 }
 BINARY_OPS = {
     "Add", "Sub", "Mul", "Div", "Pow", "Min", "Max", "Mod",
     "Equal", "Greater", "GreaterOrEqual", "Less", "LessOrEqual",
     "And", "Or", "Xor", "BitwiseAnd", "BitwiseOr", "BitwiseXor",
+    "FloorDiv", "FloorMod", "SquaredDifference",
 }
 COMM_OPS = {
     "AllReduceSum", "AllReduceProd", "AllReduceMin", "AllReduceMax",

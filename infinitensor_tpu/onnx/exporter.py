@@ -83,6 +83,8 @@ def _export_op(op: Operator, const_input) -> proto.NodeProto:
     a = op.attrs
     node = proto.NodeProto(input=ins, output=outs, name=op.name,
                            op_type=op.op_type)
+    if op.op_type == "MeanN":   # internal name avoids Min/Max-style clash
+        node.op_type = "Mean"
     if op.op_type in CUSTOM_DOMAIN_OPS:
         node.domain = "infini"
 

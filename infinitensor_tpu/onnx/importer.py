@@ -687,6 +687,142 @@ def _imp_recv(ctx, node, attrs):
 
 
 # ---------------------------------------------------------------------------
+# widened coverage beyond the reference importer's 68 op types
+# (reference pyinfinitensor onnx.py:137-1130 stops at its kernel zoo;
+# here every graph op lowers to XLA so the importer can be broader)
+# ---------------------------------------------------------------------------
+
+_WIDE_UNARY = [
+    "Asinh", "Acosh", "Atanh", "Mish", "IsNaN",
+    "Sign", "Tan", "Asin", "Acos", "Atan", "Sinh", "Cosh", "Softsign",
+]
+
+
+@register_import(*_WIDE_UNARY)
+def _imp_wide_unary(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add(node.op_type, [ctx.get(node.input[0])], {}))
+
+
+@register_import("IsInf")
+def _imp_isinf(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("IsInf", [ctx.get(node.input[0])],
+                       {"detect_negative": int(attrs.get("detect_negative", 1)),
+                        "detect_positive": int(attrs.get("detect_positive", 1))}))
+
+
+@register_import("Selu", "Celu", "ThresholdedRelu", "Shrink", "Hardmax")
+def _imp_attr_unary(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add(node.op_type, [ctx.get(node.input[0])], dict(attrs)))
+
+
+@register_import("Sum", "Mean")
+def _imp_variadic(ctx, node, attrs):
+    op = "Sum" if node.op_type == "Sum" else "MeanN"
+    ctx.put(node.output[0],
+            ctx.h._add(op, [ctx.get(i) for i in node.input], {}))
+
+
+@register_import("ReduceLogSum", "ReduceLogSumExp", "ReduceSumSquare",
+                 "ReduceL1")
+def _imp_reduce_wide(ctx, node, attrs):
+    return _imp_reduce(ctx, node, attrs)
+
+
+@register_import("Einsum")
+def _imp_einsum(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("Einsum", [ctx.get(i) for i in node.input],
+                       {"equation": attrs["equation"]}))
+
+
+@register_import("GatherND")
+def _imp_gather_nd(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("GatherND",
+                       [ctx.get(node.input[0]), ctx.get(node.input[1])],
+                       {"batch_dims": int(attrs.get("batch_dims", 0))}))
+
+
+@register_import("ScatterND")
+def _imp_scatter_nd(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("ScatterND", [ctx.get(i) for i in node.input[:3]],
+                       {"reduction": attrs.get("reduction", "none")}))
+
+
+@register_import("GroupNormalization")
+def _imp_group_norm(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("GroupNormalization",
+                       [ctx.get(i) for i in node.input[:3]],
+                       {"num_groups": int(attrs["num_groups"]),
+                        "epsilon": float(attrs.get("epsilon", 1e-5))}))
+
+
+@register_import("MeanVarianceNormalization")
+def _imp_mvn(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("MeanVarianceNormalization",
+                       [ctx.get(node.input[0])],
+                       {"axes": list(attrs.get("axes", [0, 2, 3]))}))
+
+
+@register_import("LpNormalization")
+def _imp_lp_norm(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("LpNormalization", [ctx.get(node.input[0])],
+                       {"axis": int(attrs.get("axis", -1)),
+                        "p": int(attrs.get("p", 2))}))
+
+
+@register_import("LpPool", "GlobalLpPool")
+def _imp_lp_pool(ctx, node, attrs):
+    a = {"p": int(attrs.get("p", 2))}
+    if node.op_type == "LpPool":
+        a.update({"kernel_shape": list(attrs["kernel_shape"]),
+                  "strides": list(attrs.get("strides",
+                                            [1] * len(attrs["kernel_shape"]))),
+                  "pads": list(attrs.get("pads",
+                                         [0] * 2 * len(attrs["kernel_shape"])))})
+    ctx.put(node.output[0],
+            ctx.h._add(node.op_type, [ctx.get(node.input[0])], a))
+
+
+@register_import("EyeLike")
+def _imp_eye_like(ctx, node, attrs):
+    a = {"k": int(attrs.get("k", 0))}
+    if "dtype" in attrs:
+        a["dtype"] = int(attrs["dtype"])
+    ctx.put(node.output[0],
+            ctx.h._add("EyeLike", [ctx.get(node.input[0])], a))
+
+
+@register_import("RandomNormal", "RandomUniform")
+def _imp_random(ctx, node, attrs):
+    a = {"shape": [int(d) for d in attrs["shape"]],
+         "dtype": int(attrs.get("dtype", 1))}
+    for k in ("mean", "scale", "low", "high", "seed"):
+        if k in attrs:
+            a[k] = float(attrs[k])
+    ctx.put(node.output[0], ctx.h._add(node.op_type, [], a))
+
+
+@register_import("RandomNormalLike", "RandomUniformLike", "Bernoulli")
+def _imp_random_like(ctx, node, attrs):
+    a = {}
+    if "dtype" in attrs:
+        a["dtype"] = int(attrs["dtype"])
+    for k in ("mean", "scale", "low", "high", "seed"):
+        if k in attrs:
+            a[k] = float(attrs[k])
+    ctx.put(node.output[0],
+            ctx.h._add(node.op_type, [ctx.get(node.input[0])], a))
+
+
+# ---------------------------------------------------------------------------
 # OnnxStub
 # ---------------------------------------------------------------------------
 

@@ -1044,3 +1044,254 @@ def _skip_rmsnorm_l(op, ins, ctx):
     eps = float(op.attrs.get("epsilon", 1e-6))
     out = rmsnorm(s, g, eps=eps)
     return [out, s] if len(op.outputs) > 1 else [out]
+
+
+# ---------------------------------------------------------------------------
+# ONNX coverage beyond the reference importer's 68 ops (widening pass)
+# ---------------------------------------------------------------------------
+
+_UNARY_FNS.update({
+    "Asinh": jnp.arcsinh,
+    "Acosh": jnp.arccosh,
+    "Atanh": jnp.arctanh,
+    "Rsqrt": lax.rsqrt,
+    "Square": jnp.square,
+    "Mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "IsNaN": jnp.isnan,
+})
+for _n in ("Asinh", "Acosh", "Atanh", "Rsqrt", "Square", "Mish", "IsNaN"):
+    LOWERINGS[_n] = _unary
+
+
+@register("IsInf")
+def _isinf_l(op, ins, ctx):
+    x = ins[0]
+    neg = bool(op.attrs.get("detect_negative", 1))
+    pos = bool(op.attrs.get("detect_positive", 1))
+    out = jnp.zeros(x.shape, jnp.bool_)
+    if pos:
+        out = out | (x == jnp.inf)
+    if neg:
+        out = out | (x == -jnp.inf)
+    return out
+
+_BINARY_FNS.update({
+    "FloorDiv": jnp.floor_divide,
+    "FloorMod": lambda a, b: a - jnp.floor_divide(a, b) * b,
+    "SquaredDifference": lambda a, b: jnp.square(a - b),
+})
+for _n in ("FloorDiv", "FloorMod", "SquaredDifference"):
+    LOWERINGS[_n] = _binary
+
+
+@register("Selu")
+def _selu_l(op, ins, ctx):
+    a = float(op.attrs.get("alpha", 1.67326319217681884765625))
+    g = float(op.attrs.get("gamma", 1.05070102214813232421875))
+    x = ins[0]
+    return g * jnp.where(x > 0, x, a * (jnp.exp(x) - 1.0))
+
+
+@register("Celu")
+def _celu_l(op, ins, ctx):
+    a = float(op.attrs.get("alpha", 1.0))
+    x = ins[0]
+    return jnp.maximum(x, 0) + jnp.minimum(0, a * (jnp.exp(x / a) - 1.0))
+
+
+@register("ThresholdedRelu")
+def _thresholded_relu_l(op, ins, ctx):
+    a = float(op.attrs.get("alpha", 1.0))
+    return jnp.where(ins[0] > a, ins[0], 0)
+
+
+@register("Shrink")
+def _shrink_l(op, ins, ctx):
+    lambd = float(op.attrs.get("lambd", 0.5))
+    bias = float(op.attrs.get("bias", 0.0))
+    x = ins[0]
+    return jnp.where(x < -lambd, x + bias,
+                     jnp.where(x > lambd, x - bias, 0))
+
+
+@register("Hardtanh")
+def _hardtanh_l(op, ins, ctx):
+    lo = float(op.attrs.get("min_val", -1.0))
+    hi = float(op.attrs.get("max_val", 1.0))
+    return jnp.clip(ins[0], lo, hi)
+
+
+@register("Hardmax")
+def _hardmax_l(op, ins, ctx):
+    x = ins[0]
+    axis = int(op.attrs.get("axis", -1))
+    return jax.nn.one_hot(jnp.argmax(x, axis=axis), x.shape[axis],
+                          axis=axis, dtype=x.dtype)
+
+
+@register("Sum", "MeanN")
+def _variadic_l(op, ins, ctx):
+    out = ins[0]
+    for x in ins[1:]:
+        out = out + x
+    if op.op_type == "MeanN":
+        out = out / len(ins)
+    return out
+
+
+@register("ReduceLogSum", "ReduceLogSumExp", "ReduceSumSquare")
+def _reduce_more_l(op, ins, ctx):
+    x = ins[0]
+    axes = op.attrs.get("axes")
+    axes = tuple(a + x.ndim if a < 0 else a for a in axes) if axes else None
+    keep = bool(op.attrs.get("keepdims", 1))
+    xf = x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    if op.op_type == "ReduceLogSum":
+        out = jnp.log(jnp.sum(xf, axis=axes, keepdims=keep))
+    elif op.op_type == "ReduceLogSumExp":
+        out = jax.scipy.special.logsumexp(xf, axis=axes, keepdims=keep)
+    else:
+        out = jnp.sum(jnp.square(xf), axis=axes, keepdims=keep)
+    return out.astype(x.dtype)
+
+
+@register("Einsum")
+def _einsum_l(op, ins, ctx):
+    return jnp.einsum(op.attrs["equation"], *ins)
+
+
+@register("GatherND")
+def _gather_nd_l(op, ins, ctx):
+    data, idx = ins[0], ins[1].astype(jnp.int32)
+    b = int(op.attrs.get("batch_dims", 0))
+    if b == 0:
+        return data[tuple(jnp.moveaxis(idx, -1, 0))]
+    # prepend broadcast batch index grids for the leading b dims
+    grids = jnp.meshgrid(*(jnp.arange(d) for d in idx.shape[:-1]),
+                         indexing="ij")
+    coords = [g for g in grids[:b]] + list(jnp.moveaxis(idx, -1, 0))
+    return data[tuple(coords)]
+
+
+@register("ScatterND")
+def _scatter_nd_l(op, ins, ctx):
+    data, idx, updates = ins
+    reduction = op.attrs.get("reduction", "none")
+    coords = tuple(jnp.moveaxis(idx.astype(jnp.int32), -1, 0))
+    at = data.at[coords]
+    if reduction == "add":
+        return at.add(updates)
+    if reduction == "mul":
+        return at.multiply(updates)
+    if reduction == "max":
+        return at.max(updates)
+    if reduction == "min":
+        return at.min(updates)
+    return at.set(updates)
+
+
+@register("GroupNormalization")
+def _group_norm_l(op, ins, ctx):
+    x, scale, bias = ins
+    g = int(op.attrs["num_groups"])
+    eps = float(op.attrs.get("epsilon", 1e-5))
+    n, c = x.shape[0], x.shape[1]
+    xf = x.astype(jnp.float32).reshape((n, g, c // g, *x.shape[2:]))
+    axes = tuple(range(2, xf.ndim))
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    xn = ((xf - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+    shape = (1, c) + (1,) * (x.ndim - 2)
+    return (xn * scale.reshape(shape).astype(jnp.float32)
+            + bias.reshape(shape).astype(jnp.float32)).astype(x.dtype)
+
+
+@register("MeanVarianceNormalization")
+def _mvn_l(op, ins, ctx):
+    x = ins[0]
+    axes = tuple(op.attrs.get("axes", (0, 2, 3)))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    std = jnp.std(xf, axis=axes, keepdims=True)
+    return ((xf - mean) / (std + 1e-9)).astype(x.dtype)
+
+
+@register("LpNormalization")
+def _lp_norm_l(op, ins, ctx):
+    x = ins[0]
+    axis = int(op.attrs.get("axis", -1))
+    p = int(op.attrs.get("p", 2))
+    xf = x.astype(jnp.float32)
+    if p == 1:
+        norm = jnp.sum(jnp.abs(xf), axis=axis, keepdims=True)
+    else:
+        norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=axis, keepdims=True))
+    return (xf / jnp.maximum(norm, 1e-12)).astype(x.dtype)
+
+
+@register("LpPool", "GlobalLpPool")
+def _lp_pool_l(op, ins, ctx):
+    x = ins[0]
+    p = int(op.attrs.get("p", 2))
+    xf = jnp.abs(x.astype(jnp.float32)) ** p
+    if op.op_type == "GlobalLpPool":
+        s = jnp.sum(xf, axis=tuple(range(2, x.ndim)), keepdims=True)
+        return (s ** (1.0 / p)).astype(x.dtype)
+    nsp = x.ndim - 2
+    kernel = list(op.attrs["kernel_shape"])
+    strides = list(op.attrs.get("strides", [1] * nsp))
+    pads = list(op.attrs.get("pads", [0] * 2 * nsp))
+    window = (1, 1, *kernel)
+    stride = (1, 1, *strides)
+    padding = [(0, 0), (0, 0)] + [(pads[i], pads[nsp + i])
+                                  for i in range(nsp)]
+    s = lax.reduce_window(xf, 0.0, lax.add, window, stride, padding)
+    return (s ** (1.0 / p)).astype(x.dtype)
+
+
+@register("EyeLike")
+def _eye_like_l(op, ins, ctx):
+    x = ins[0]
+    k = int(op.attrs.get("k", 0))
+    dtype = op.outputs[0].dtype.jnp()
+    return jnp.eye(x.shape[0], x.shape[1], k=k, dtype=dtype)
+
+
+def _op_rng_key(op):
+    seed = op.attrs.get("seed")
+    if seed is None:
+        # deterministic per-op fallback (ONNX leaves seedless behavior
+        # implementation-defined; traced graphs need a static key)
+        seed = hash(op.attrs.get("_name", op.op_type)) % (2 ** 31)
+    return jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+
+
+@register("RandomNormal", "RandomNormalLike")
+def _random_normal_l(op, ins, ctx):
+    shape = op.outputs[0].shape
+    dtype = op.outputs[0].dtype.jnp()
+    mean = float(op.attrs.get("mean", 0.0))
+    scale = float(op.attrs.get("scale", 1.0))
+    return (jax.random.normal(_op_rng_key(op), shape) * scale
+            + mean).astype(dtype)
+
+
+@register("RandomUniform", "RandomUniformLike")
+def _random_uniform_l(op, ins, ctx):
+    shape = op.outputs[0].shape
+    dtype = op.outputs[0].dtype.jnp()
+    lo = float(op.attrs.get("low", 0.0))
+    hi = float(op.attrs.get("high", 1.0))
+    return jax.random.uniform(_op_rng_key(op), shape, jnp.float32,
+                              lo, hi).astype(dtype)
+
+
+@register("Bernoulli")
+def _bernoulli_l(op, ins, ctx):
+    p = ins[0].astype(jnp.float32)
+    dtype = op.outputs[0].dtype.jnp()
+    u = jax.random.uniform(_op_rng_key(op), p.shape)
+    return (u < p).astype(dtype)
+
+
+LOWERINGS["Upsample"] = LOWERINGS["Resize"]

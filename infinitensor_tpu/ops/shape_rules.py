@@ -755,3 +755,139 @@ def _activation_backward(op):
     # inputs (y, diff_y, x) -> diff_x, all same shape
     # (reference src/operators/activation_backward.cc)
     return [(_in(op, 0).shape, _in(op, 0).dtype)]
+
+
+# ---------------------------------------------------------------------------
+# ONNX coverage beyond the reference importer's 68 ops (widening pass;
+# reference include/core/op_type.h enumerates these but implements few)
+# ---------------------------------------------------------------------------
+
+@register("IsNaN", "IsInf")
+def _is_pred(op):
+    return [(_in(op, 0).shape, dt.BOOL)]
+
+
+@register("Sum", "MeanN")
+def _variadic_elementwise(op):
+    # ONNX Sum/Mean: N inputs, multidirectional broadcast
+    shape = broadcast_shapes(*(_in(op, i).shape
+                               for i in range(len(op.inputs))))
+    return [(shape, _in(op, 0).dtype)]
+
+
+@register("ReduceLogSum", "ReduceLogSumExp", "ReduceSumSquare")
+def _reduce_aliases(op):
+    return SHAPE_RULES["ReduceSum"](op)
+
+
+def _parse_einsum(eq: str, shapes: list) -> tuple:
+    """Pure einsum output-shape inference (explicit + implicit + ellipsis)."""
+    eq = eq.replace(" ", "")
+    lhs, _, rhs = eq.partition("->")
+    terms = lhs.split(",")
+    if len(terms) != len(shapes):
+        raise ValueError(f"einsum '{eq}': {len(terms)} terms, "
+                         f"{len(shapes)} inputs")
+    sizes: dict = {}
+    ell_shape: tuple = ()
+    counts: dict = {}
+    for term, shape in zip(terms, shapes):
+        if "..." in term:
+            named = term.replace("...", "")
+            n_ell = len(shape) - len(named)
+            if n_ell < 0:
+                raise ValueError(f"einsum '{eq}': term {term} too long")
+            head = term.index("...")
+            ell = shape[head:head + n_ell]
+            # right-aligned broadcast of ellipsis dims across terms
+            merged = list(ell_shape)
+            for i in range(1, max(len(merged), len(ell)) + 1):
+                a = merged[-i] if i <= len(merged) else 1
+                b = ell[-i] if i <= len(ell) else 1
+                v = max(a, b)
+                if i <= len(merged):
+                    merged[-i] = v
+                else:
+                    merged.insert(0, v)
+            ell_shape = tuple(merged)
+            dims = list(shape[:head]) + list(shape[head + n_ell:])
+            labels = term[:head] + term[head + 3:]
+        else:
+            dims, labels = list(shape), term
+        if len(labels) != len(dims):
+            raise ValueError(f"einsum '{eq}': term {term} rank mismatch")
+        for c, d in zip(labels, dims):
+            if c in sizes and sizes[c] != d and 1 not in (sizes[c], d):
+                raise ValueError(f"einsum '{eq}': size clash on {c}")
+            sizes[c] = max(sizes.get(c, 1), d)
+            counts[c] = counts.get(c, 0) + 1
+    if not rhs and "->" not in eq:
+        # implicit: ellipsis then labels appearing exactly once, sorted
+        rhs = "..." + "".join(sorted(c for c, n in counts.items() if n == 1))
+    out: list = []
+    for i, c in enumerate(rhs):
+        if rhs[i:i + 3] == "...":
+            out.extend(ell_shape)
+        elif c != ".":
+            out.append(sizes[c])
+    return tuple(out)
+
+
+@register("Einsum")
+def _einsum(op):
+    eq = op.attrs["equation"]
+    shapes = [list(_in(op, i).shape) for i in range(len(op.inputs))]
+    return [(_parse_einsum(eq, shapes), _in(op, 0).dtype)]
+
+
+@register("GatherND")
+def _gather_nd(op):
+    data, idx = _in(op, 0), _in(op, 1)
+    b = int(op.attrs.get("batch_dims", 0))
+    k = idx.shape[-1]
+    shape = tuple(idx.shape[:-1]) + tuple(data.shape[b + k:])
+    return [(shape, data.dtype)]
+
+
+@register("ScatterND")
+def _scatter_nd(op):
+    data = _in(op, 0)
+    return [(data.shape, data.dtype)]
+
+
+@register("GroupNormalization", "MeanVarianceNormalization",
+          "LpNormalization")
+def _norm_same(op):
+    x = _in(op, 0)
+    return [(x.shape, x.dtype)]
+
+
+@register("EyeLike")
+def _eye_like(op):
+    x = _in(op, 0)
+    dtype = op.attrs.get("dtype")
+    dtype = DataType.from_onnx(int(dtype)) if dtype is not None else x.dtype
+    return [(x.shape, dtype)]
+
+
+@register("RandomNormal", "RandomUniform")
+def _random_gen(op):
+    shape = tuple(int(d) for d in op.attrs["shape"])
+    dtype = DataType.from_onnx(int(op.attrs.get("dtype",
+                                                dt.FLOAT32.onnx_id)))
+    return [(shape, dtype)]
+
+
+@register("RandomNormalLike", "RandomUniformLike", "Bernoulli")
+def _random_like(op):
+    x = _in(op, 0)
+    dtype = op.attrs.get("dtype")
+    dtype = DataType.from_onnx(int(dtype)) if dtype is not None else x.dtype
+    return [(x.shape, dtype)]
+
+
+# LpPool/GlobalLpPool share the max/avg pooling geometry
+SHAPE_RULES["LpPool"] = SHAPE_RULES["MaxPool"]
+SHAPE_RULES["GlobalLpPool"] = SHAPE_RULES["GlobalAveragePool"]
+# deprecated ONNX Upsample == Resize geometry (scales input)
+SHAPE_RULES["Upsample"] = SHAPE_RULES["Resize"]
