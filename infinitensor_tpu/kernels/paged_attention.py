@@ -1,0 +1,167 @@
+"""Paged flash-decode attention (vLLM-style block tables, TPU-native).
+
+The reference manages KV state as heap-allocated contiguous clones
+(reference src/core/graph.cc:578-633 cloneKV/free_heap); a serving engine
+doing continuous batching fragments under that scheme. Here the KV cache is
+a pool of fixed-size PAGES plus a per-slot block table — the allocation
+granularity the BASELINE north star asks for ("paged + INT8 KV cache").
+
+TPU design points:
+* pages are [n_pages, Hkv, page_size, D] so one (kv-head, page) tile is a
+  contiguous [page_size, D] VMEM block — page_size is the flash seq_block;
+* the block table rides in SMEM via PrefetchScalarGridSpec and drives the
+  k/v BlockSpec index_maps — the indirection costs nothing at compute time
+  (Mosaic resolves the page id while prefetching the next block);
+* all shapes static: grid covers max_pages_per_seq; pages past the causal
+  frontier are skipped via @pl.when (their DMAs still issue — the price of
+  a static grid — but pos-masking keeps the math exact).
+
+jnp reference: paged_decode_ref (oracle + CPU path).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from infinitensor_tpu.utils.platform import is_tpu
+
+
+def gather_pages(pages, block_table):
+    """[N, Hkv, P, D], [B, MP] -> dense [B, Hkv, MP*P, D]."""
+    g = pages[block_table]                      # [B, MP, Hkv, P, D]
+    B, MP, Hkv, P, D = g.shape
+    return jnp.moveaxis(g, 1, 2).reshape(B, Hkv, MP * P, D)
+
+
+def paged_append(k_pages, v_pages, k, v, block_table, pos):
+    """Write new k/v [B, Hkv, 1, D] at per-slot positions.
+
+    block_table [B, MP] int32; pos [B] int32 (the slot's current length).
+    Returns updated (k_pages, v_pages); in-place when donated."""
+    P = k_pages.shape[2]
+    page_ids = jnp.take_along_axis(
+        block_table, (pos // P)[:, None], axis=1)[:, 0]       # [B]
+    offs = pos % P                                            # [B]
+
+    def upd(pages, new):
+        # scatter one row per batch: pages[page_ids[b], :, offs[b], :] = new
+        def one(pages, pid, off, row):
+            return jax.lax.dynamic_update_slice(
+                pages, row.astype(pages.dtype)[None],
+                (pid, 0, off, 0))
+        def body(i, pgs):
+            return one(pgs, page_ids[i], offs[i], new[i, :, 0, :][:, None])
+        return jax.lax.fori_loop(0, new.shape[0], body, pages)
+
+    return upd(k_pages, k), upd(v_pages, v)
+
+
+def paged_decode_ref(q, k_pages, v_pages, block_table, pos):
+    """Oracle: gather pages to dense and run masked GQA attention.
+
+    q [B, H, 1, D]; pages [N, Hkv, P, D]; block_table [B, MP]; pos [B]
+    (position of the CURRENT token, i.e. attend to [0, pos]).
+    Returns out [B, H, 1, D]."""
+    B, H, _, D = q.shape
+    Hkv = k_pages.shape[1]
+    rep = H // Hkv
+    kd = gather_pages(k_pages, block_table)     # [B, Hkv, S, D]
+    vd = gather_pages(v_pages, block_table)
+    S = kd.shape[2]
+    scale = 1.0 / math.sqrt(D)
+    qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
+    s = jnp.einsum("bgrd,bgsd->bgrs", qf, kd.astype(jnp.float32)) * scale
+    mask = jnp.arange(S)[None, None, None, :] <= pos[:, None, None, None]
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bgrs,bgsd->bgrd", p, vd.astype(jnp.float32))
+    return out.reshape(B, H, 1, D).astype(q.dtype)
+
+
+def _paged_kernel(table_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_ref, l_ref, acc_ref, *, page, rep):
+    import jax.experimental.pallas as pl
+
+    b = pl.program_id(0)
+    p_idx = pl.program_id(2)
+    pos = pos_ref[b]
+    start = p_idx * page
+
+    @pl.when(p_idx == 0)
+    def _():
+        m_ref[:, :] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:, :] = jnp.zeros_like(l_ref)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(start <= pos)
+    def _():
+        D = q_ref.shape[-1]
+        q = q_ref[:, :].astype(jnp.float32)                  # [rep, D]
+        kb = k_ref[:, :].astype(jnp.float32)                 # [page, D]
+        vb = v_ref[:, :].astype(jnp.float32)
+        scale = 1.0 / math.sqrt(D)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        s = jnp.where(idx <= pos, s, -jnp.inf)
+        m_prev = m_ref[:, :]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_ref[:, :] = l_ref[:, :] * alpha + jnp.sum(p, -1, keepdims=True)
+        m_ref[:, :] = m_cur
+        pv = jax.lax.dot_general(p, vb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+
+    @pl.when(p_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:, :] = (acc_ref[:, :] / l_ref[:, :]).astype(o_ref.dtype)
+
+
+@jax.jit
+def paged_flash_decode(q, k_pages, v_pages, block_table, pos):
+    """Pallas paged decode. q [B, H, 1, D]; pages [N, Hkv, P, D];
+    block_table [B, MP] int32 page ids; pos [B]. Returns [B, H, 1, D]."""
+    if not is_tpu():
+        return paged_decode_ref(q, k_pages, v_pages, block_table, pos)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, _, D = q.shape
+    N, Hkv, P, Dk = k_pages.shape
+    MP = block_table.shape[1]
+    rep = H // Hkv
+    qg = q.reshape(B, Hkv, rep, D)
+    grid = (B, Hkv, MP)
+
+    def k_index(b, h, p, table_ref, pos_ref):
+        return (table_ref[b, p], h, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_paged_kernel, page=P, rep=rep),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,      # block_table, pos (SMEM)
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((None, None, rep, D),
+                             lambda b, h, p, t, ps: (b, h, 0, 0)),
+                pl.BlockSpec((None, None, P, D), k_index),
+                pl.BlockSpec((None, None, P, D), k_index),
+            ],
+            out_specs=pl.BlockSpec((None, None, rep, D),
+                                   lambda b, h, p, t, ps: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rep, 1), jnp.float32),
+                pltpu.VMEM((rep, 1), jnp.float32),
+                pltpu.VMEM((rep, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+    )(block_table.astype(jnp.int32), pos.astype(jnp.int32),
+      qg, k_pages, v_pages)
+    return out.reshape(B, H, 1, D)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from infinitensor_tpu.utils.platform import is_tpu
 
 from infinitensor_tpu.quant.weight_only import (
-    QuantizedLinear, dequantize_weight, _unpack_int4,
+    QuantizedLinear, dequantize_weight,
 )
 
 
@@ -37,36 +37,58 @@ def quant_matmul_ref(x, q: QuantizedLinear):
 
 
 def _kernel(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size, chunk):
-    pack = 1 if bits == 8 else 2
-    din = qw_ref.shape[0] * pack
     bn = qw_ref.shape[1]
-    n_chunks = din // chunk
-    ng_c = chunk // group_size
     acc = jnp.zeros((x_ref.shape[0], bn), jnp.float32)
-    for c in range(n_chunks):
-        qc = qw_ref[c * (chunk // pack):(c + 1) * (chunk // pack), :]
-        if bits == 4:
-            qc = _unpack_int4(qc)
-        sc = sc_ref[c * ng_c:(c + 1) * ng_c, :]
-        wf = qc.astype(jnp.float32).reshape(ng_c, group_size, bn)
+
+    def dequant_dot(acc, qc_i32, x_cols, sc):
+        ng_c = qc_i32.shape[0] // group_size
+        wf = qc_i32.astype(jnp.float32).reshape(ng_c, group_size, bn)
         wf = wf * sc.reshape(ng_c, 1, bn)
-        w = wf.reshape(chunk, bn).astype(jnp.bfloat16)
-        xc = x_ref[:, c * chunk:(c + 1) * chunk]
-        acc = acc + jnp.dot(xc, w, preferred_element_type=jnp.float32)
+        w = wf.reshape(qc_i32.shape[0], bn).astype(jnp.bfloat16)
+        return acc + jnp.dot(x_cols, w, preferred_element_type=jnp.float32)
+
+    if bits == 8:
+        din = qw_ref.shape[0]
+        ng_c = chunk // group_size
+        for c in range(din // chunk):
+            qc = qw_ref[c * chunk:(c + 1) * chunk, :].astype(jnp.int32)
+            sc = sc_ref[c * ng_c:(c + 1) * ng_c, :]
+            acc = dequant_dot(acc, qc, x_ref[:, c * chunk:(c + 1) * chunk],
+                              sc)
+    else:
+        # split-half int4 (quant/weight_only.py): packed row i holds
+        # w[i] (low nibble) and w[i + half] (high nibble), so each packed
+        # chunk dequantizes into two CONTIGUOUS row blocks -> two MXU dots,
+        # no sublane interleave. Sign extension = two arithmetic shifts.
+        half = qw_ref.shape[0]          # = din // 2 packed rows
+        ng_half = half // group_size    # scale groups per half
+        ng_c = chunk // group_size
+        for c in range(half // chunk):
+            u = qw_ref[c * chunk:(c + 1) * chunk, :].astype(jnp.int32)
+            lo = (u << 28) >> 28
+            hi = (u << 24) >> 28
+            sc_lo = sc_ref[c * ng_c:(c + 1) * ng_c, :]
+            sc_hi = sc_ref[ng_half + c * ng_c:ng_half + (c + 1) * ng_c, :]
+            acc = dequant_dot(acc, lo, x_ref[:, c * chunk:(c + 1) * chunk],
+                              sc_lo)
+            acc = dequant_dot(
+                acc, hi, x_ref[:, half + c * chunk:half + (c + 1) * chunk],
+                sc_hi)
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
-def _pick_chunk(din: int, group: int, bits: int) -> int:
-    """Chunk: multiple of the scale group dividing din, sized so dequant
-    intermediates stay small (int4 makes ~10x the chunk bytes in int32)."""
-    target = 2048 if bits == 8 else 512
+def _pick_chunk(rows: int, group: int, bits: int) -> int:
+    """Chunk: multiple of the scale group dividing `rows` (STORED rows of
+    the qweight tile: din for int8, din//2 packed for int4), sized so the
+    dequant intermediates stay in VMEM comfortably."""
+    target = 2048 if bits == 8 else 1024
     best = 0
     b = group
-    while b <= din:
-        if din % b == 0 and b <= target:
+    while b <= rows:
+        if rows % b == 0 and b <= target:
             best = b
         b += group
-    return best or (din if din % group == 0 else 0)
+    return best or (rows if rows % group == 0 else 0)
 
 
 def _pick_bn(dout: int, din: int, bits: int) -> int:
@@ -102,12 +124,13 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0):
     if pad_rows != rows:
         x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
 
-    chunk = _pick_chunk(din, q.group_size, q.bits)
-    bn = block_out or _pick_bn(dout, din, q.bits)
-    if chunk == 0 or bn == 0 or chunk % 128 or pad_rows > 256:
-        return quant_matmul_ref(x, q)
     pack = 1 if q.bits == 8 else 2
+    chunk = _pick_chunk(din // pack, q.group_size, q.bits)
+    bn = block_out or _pick_bn(dout, din, q.bits)
     ng = q.scales.shape[0]
+    if (chunk == 0 or bn == 0 or chunk % 128 or pad_rows > 256
+            or (q.bits == 4 and ng % 2)):
+        return quant_matmul_ref(x, q)
 
     out = pl.pallas_call(
         functools.partial(_kernel, bits=q.bits, group_size=q.group_size,

@@ -179,6 +179,19 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None,
             "v": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]}
 
 
+def init_paged_kv_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
+                        max_slots: int, max_seq: Optional[int] = None,
+                        dtype=None) -> dict:
+    """Paged cache dict (vLLM-style; serving/paged_cache.py manages the
+    host-side free list). llama_decode_step dispatches on 'k_pages'."""
+    from infinitensor_tpu.serving.paged_cache import init_paged_cache
+    c = init_paged_cache(cfg.n_layers, n_pages, cfg.n_kv_heads, page_size,
+                         cfg.head_dim, max_slots, max_seq or cfg.max_seq,
+                         dtype or cfg.dtype)
+    return {"k_pages": c.k_pages, "v_pages": c.v_pages,
+            "block_table": c.block_table}
+
+
 def _attention(q, k, v, mask):
     """q [B,S,H,D], k/v [B,T,Hkv,D] -> [B,S,H,D]. GQA via head grouping."""
     B, S, H, D = q.shape
@@ -314,13 +327,50 @@ def _block_decode(cfg, layer, x, pos, cache_k, cache_v, k_scale=None,
     return x, cache_k, cache_v, k_scale, v_scale
 
 
+def _block_decode_paged(cfg, layer, x, pos, k_pages, v_pages, table):
+    """Decode block against a paged KV cache (kernels/paged_attention.py)."""
+    from infinitensor_tpu.kernels.paged_attention import (
+        paged_append, paged_flash_decode)
+    B = x.shape[0]
+    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+    q, k, v = _qkv(cfg, layer, h)
+    pos2 = pos[:, None]
+    q = rope(q, pos2, cfg.rope_theta)
+    k = rope(k, pos2, cfg.rope_theta)
+    qh = jnp.swapaxes(q, 1, 2)
+    kh = jnp.swapaxes(k, 1, 2).astype(k_pages.dtype)
+    vh = jnp.swapaxes(v, 1, 2).astype(v_pages.dtype)
+    k_pages, v_pages = paged_append(k_pages, v_pages, kh, vh, table, pos)
+    out = paged_flash_decode(qh, k_pages, v_pages, table, pos)
+    attn = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
+    x = x + _linear(attn, layer["wo"])
+    h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    x = x + _mlp(cfg, layer, h2)
+    return x, k_pages, v_pages
+
+
 def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
     """One decode step. token [B] int32, pos [B] int32 (write positions).
 
     Returns (logits [B, vocab], cache'). Jit with cache donated:
     ``jax.jit(..., donate_argnums=(4,))``.
+
+    Cache dispatch: dense bf16 ('k'/'v'), INT8 quantized (+'k_scale'),
+    or paged ('k_pages'/'v_pages'/'block_table').
     """
     B = token.shape[0]
+    if "k_pages" in cache:
+        x = jnp.take(params["embed"], token, axis=0)[:, None, :]
+        table = cache["block_table"]
+        new = {"k_pages": [], "v_pages": [], "block_table": table}
+        for i, layer in enumerate(params["layers"]):
+            x, kp, vp = _block_decode_paged(
+                cfg, layer, x, pos, cache["k_pages"][i],
+                cache["v_pages"][i], table)
+            new["k_pages"].append(kp)
+            new["v_pages"].append(vp)
+        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+        return _linear(x[:, 0], params["lm_head"]), new
     x = jnp.take(params["embed"], token, axis=0)[:, None, :]
     quant_cache = "k_scale" in cache
     new = {key: [] for key in cache}

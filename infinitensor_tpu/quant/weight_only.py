@@ -79,26 +79,34 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None
     q = jnp.clip(q, -qmax - 1, qmax).astype(jnp.int8)
     q = q.reshape(din, dout)
     if bits == 4:
-        # pack consecutive contraction rows: row 2i -> low nibble, 2i+1 -> high
-        lo = q[0::2].astype(jnp.uint8) & 0xF
-        hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
+        # SPLIT-HALF packing: row i packs w[i] (low nibble) with
+        # w[i + din//2] (high nibble). Unpacking is then two CONTIGUOUS
+        # row blocks — no sublane interleave, which Mosaic lowers to a
+        # per-element shuffle ~14x slower than the matmul it feeds.
+        half = din // 2
+        lo = q[:half].astype(jnp.uint8) & 0xF
+        hi = (q[half:].astype(jnp.uint8) & 0xF) << 4
         q = (lo | hi).astype(jnp.int8)
     return QuantizedLinear(q, scales.astype(jnp.float32), bits, group_size)
 
 
-def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """[in//2, out] packed -> [in, out] int8 in [-8, 7].
+def _unpack_nibbles(packed: jax.Array) -> tuple:
+    """[in//2, out] packed -> (lo, hi) int32 in [-8, 7]; lo = w rows
+    [0, in/2), hi = w rows [in/2, in) (split-half layout).
 
     Shifts happen in int32: Mosaic (Pallas TPU) has no shift ops on int8
-    vectors, and int32 is the VPU-native lane width anyway."""
-    u = packed.astype(jnp.int32) & 0xFF
-    lo = u & 0xF
-    hi = (u >> 4) & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    din2, dout = packed.shape
-    out = jnp.concatenate([lo[:, None, :], hi[:, None, :]], axis=1)
-    return out.reshape(din2 * 2, dout).astype(jnp.int8)
+    vectors, and int32 is the VPU-native lane width anyway. Sign extension
+    is two arithmetic shifts (no compare/select)."""
+    u = packed.astype(jnp.int32)
+    lo = (u << 28) >> 28
+    hi = (u << 24) >> 28
+    return lo, hi
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """[in//2, out] packed -> [in, out] int8 in [-8, 7] (split-half)."""
+    lo, hi = _unpack_nibbles(packed)
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
 def dequantize_weight(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
