@@ -500,11 +500,124 @@ class ModelProto:
         return 17
 
 
+class LazyTensorProto:
+    """Initializer view over the serialized model buffer (native-scan fast
+    path, native/onnx_wire.cc): name/dtype/dims come from the native index;
+    payload bytes stay in place and ``to_numpy`` maps them with a zero-copy
+    ``numpy.frombuffer`` view. Mirrors the reference's native weight path
+    where Python never touches initializer bytes
+    (src/ffi/ffi_infinitensor.cc:478-541)."""
+
+    __slots__ = ("_buf", "_desc")
+
+    def __init__(self, buf: bytes, desc):
+        self._buf = buf
+        self._desc = desc
+
+    @property
+    def name(self) -> str:
+        return self._desc.name
+
+    @property
+    def dims(self) -> list:
+        return list(self._desc.dims)
+
+    @property
+    def data_type(self) -> int:
+        return self._desc.data_type
+
+    def _materialize(self) -> TensorProto:
+        d = self._desc
+        return TensorProto.parse(self._buf[d.msg_off:d.msg_off + d.msg_len])
+
+    def __getattr__(self, attr):  # raw_data / int64_data / ... on demand
+        return getattr(self._materialize(), attr)
+
+    def serialize(self) -> bytes:
+        # the original span IS a valid TensorProto encoding
+        d = self._desc
+        return bytes(self._buf[d.msg_off:d.msg_off + d.msg_len])
+
+    def to_numpy(self) -> np.ndarray:
+        from infinitensor_tpu.native import onnx_wire as ow
+
+        d = self._desc
+        dt = DataType.from_onnx(d.data_type)
+        shape = tuple(d.dims)
+        count = 1
+        for s in shape:
+            count *= int(s)
+        if d.data_kind == ow.KIND_RAW and dt.size_bits >= 8 and \
+                count * dt.size_bits // 8 <= d.data_len:
+            arr = np.frombuffer(self._buf, dtype=dt.np(), count=count,
+                                offset=d.data_off)
+            return arr.reshape(shape)
+        if d.data_kind == ow.KIND_FLOAT and count * 4 <= d.data_len:
+            return np.frombuffer(self._buf, dtype="<f4", count=count,
+                                 offset=d.data_off).reshape(shape)
+        if d.data_kind == ow.KIND_DOUBLE and count * 8 <= d.data_len:
+            return np.frombuffer(self._buf, dtype="<f8", count=count,
+                                 offset=d.data_off).reshape(shape)
+        # varint-packed ints, irregular layouts, empty payloads: full parse
+        return self._materialize().to_numpy()
+
+
+def _parse_graph_scanned(buf: bytes, scan) -> GraphProto:
+    """GraphProto parse that takes initializers from the native scan and
+    never slices their payload bytes."""
+    g = GraphProto()
+    g.initializer = [LazyTensorProto(buf, d) for d in scan.initializers]
+    for field, wt, val in w.iter_field_spans(buf, scan.graph_off,
+                                             scan.graph_off + scan.graph_len):
+        if field == 5:
+            continue  # initializer — already indexed natively
+        if not isinstance(val, tuple):
+            continue
+        s, e = val
+        if field == 1:
+            g.node.append(NodeProto.parse(buf[s:e]))
+        elif field == 2:
+            g.name = buf[s:e].decode("utf-8")
+        elif field == 11:
+            g.input.append(ValueInfoProto.parse(buf[s:e]))
+        elif field == 12:
+            g.output.append(ValueInfoProto.parse(buf[s:e]))
+        elif field == 13:
+            g.value_info.append(ValueInfoProto.parse(buf[s:e]))
+    return g
+
+
+def _load_model_scanned(data: bytes) -> Optional[ModelProto]:
+    """Native-scan fast path for load_model; None -> pure-Python fallback."""
+    try:
+        from infinitensor_tpu.native.onnx_wire import scan_model
+        scan = scan_model(data)
+    except Exception:
+        return None
+    if scan is None:
+        return None
+    m = ModelProto(opset_import=[])
+    m.graph = _parse_graph_scanned(data, scan)
+    for field, wt, val in w.iter_field_spans(data):
+        if field == 1 and not isinstance(val, tuple):
+            m.ir_version = w.to_signed64(val)
+        elif field == 2 and isinstance(val, tuple):
+            m.producer_name = data[val[0]:val[1]].decode("utf-8")
+        elif field == 8 and isinstance(val, tuple):
+            m.opset_import.append(OperatorSetId.parse(data[val[0]:val[1]]))
+    if not m.opset_import:
+        m.opset_import = [OperatorSetId()]
+    return m
+
+
 def load_model(path_or_bytes) -> ModelProto:
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        return ModelProto.parse(bytes(path_or_bytes))
-    with open(path_or_bytes, "rb") as f:
-        return ModelProto.parse(f.read())
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    m = _load_model_scanned(data)
+    return m if m is not None else ModelProto.parse(data)
 
 
 def save_model(model: ModelProto, path: str) -> None:

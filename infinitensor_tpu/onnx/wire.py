@@ -128,6 +128,35 @@ def iter_fields(buf: bytes) -> Iterator[Tuple[int, int, Union[int, bytes]]]:
         yield field, wt, value
 
 
+def iter_field_spans(buf: bytes, start: int = 0,
+                     end: int = None) -> Iterator[Tuple[int, int, object]]:
+    """Like :func:`iter_fields` but never slices payloads: LENGTH / FIXED
+    fields yield an ``(offset, offset_end)`` span into ``buf`` and VARINT
+    yields the unsigned int. Used by the native-scan fast path so multi-GB
+    initializer payloads are skipped without being copied."""
+    pos = start
+    n = len(buf) if end is None else end
+    while pos < n:
+        tag, pos = decode_varint(buf, pos)
+        field = tag >> 3
+        wt = tag & 7
+        if wt == VARINT:
+            value, pos = decode_varint(buf, pos)
+        elif wt == FIXED64:
+            value = (pos, pos + 8)
+            pos += 8
+        elif wt == LENGTH:
+            size, pos = decode_varint(buf, pos)
+            value = (pos, pos + size)
+            pos += size
+        elif wt == FIXED32:
+            value = (pos, pos + 4)
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} for field {field}")
+        yield field, wt, value
+
+
 def unpack_varints(payload: bytes, signed: bool = True) -> list[int]:
     out = []
     pos = 0
