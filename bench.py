@@ -179,7 +179,7 @@ def main():
     # dependence through the donated KV cache means fetching the LAST
     # launch's tokens transitively waits for every step.
     import numpy as np
-    multi = int(os.environ.get("BENCH_MULTI", "32"))
+    multi = int(os.environ.get("BENCH_MULTI", "64"))
     if multi > 1:
         from infinitensor_tpu.models.llama import llama_decode_multi
         step = jax.jit(
@@ -233,7 +233,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "build_s": round(build_s, 1),
         "hbm_gbps_measured": round(hbm_gbps, 1),
-        "multi_step": int(os.environ.get("BENCH_MULTI", "32")),
+        "multi_step": int(os.environ.get("BENCH_MULTI", "64")),
         "device": str(dev),
     }
     print(json.dumps(result))

@@ -200,9 +200,22 @@ def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("seq_block",))
-def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 512):
+def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048):
     """q [B, H, 1, D], caches [B, Hkv, S, D] (already appended), pos [B].
-    Returns [B, H, 1, D]. H must be a multiple of Hkv (GQA)."""
+    Returns [B, H, 1, D]. H must be a multiple of Hkv (GQA).
+
+    K/V blocks beyond the causal frontier are never read from HBM: pos is a
+    scalar-prefetch operand and the K/V index maps clamp the sequence-block
+    index at ``pos // seq_block``, so the pipeliner sees a repeated block
+    index and elides the DMA (the compute for those blocks is already
+    skipped by ``@pl.when``). Without this, decoding at position p in a
+    padded S_max cache streams S_max rows instead of p — 2x the traffic at
+    half-full (the reference kernel tiles only over the live sequence,
+    attention_kvcache.cu:8-60; this recovers that property for static
+    shapes). Measured on v5e: large blocks win (one 2048-row DMA per head
+    beats 4x512 by ~1.5x — DMA setup dominates over elision at high fill),
+    so the default block is 2048 and the elision pays off at low fill or
+    long caches; tuned_flash_decode (runtime/tuner.py) sweeps the knob."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -216,24 +229,30 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 512):
 
     qg = q.reshape(B, Hkv, rep, D)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_decode_kernel, seq_block=seq_block, rep=rep),
+    def kv_index(b, h, s, pos_ref):
+        last = pos_ref[b] // seq_block
+        return (b, h, jnp.minimum(s, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos [B], whole array
-            pl.BlockSpec((None, None, rep, D), lambda b, h, s: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, seq_block, D),
-                         lambda b, h, s: (b, h, s, 0)),
-            pl.BlockSpec((None, None, seq_block, D),
-                         lambda b, h, s: (b, h, s, 0)),
+            pl.BlockSpec((None, None, rep, D),
+                         lambda b, h, s, pos_ref: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, seq_block, D), kv_index),
+            pl.BlockSpec((None, None, seq_block, D), kv_index),
         ],
         out_specs=pl.BlockSpec((None, None, rep, D),
-                               lambda b, h, s: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+                               lambda b, h, s, pos_ref: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((rep, 1), jnp.float32),
             pltpu.VMEM((rep, 1), jnp.float32),
             pltpu.VMEM((rep, D), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_kernel, seq_block=seq_block, rep=rep),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
     )(pos, qg, k_cache, v_cache)
     return out.reshape(B, H, 1, D)

@@ -52,11 +52,20 @@ def export_onnx(graph: Graph, name: str = "graph") -> proto.ModelProto:
     for t in graph.inputs():
         g.input.append(proto.ValueInfoProto.make(t.name, t.dtype.onnx_id,
                                                  t.shape))
-    for t in graph.outputs():
+    outs = graph.outputs()
+    if not outs:
+        # no tensor explicitly marked OUTPUT (handler-built graphs often
+        # skip it): ONNX requires graph outputs, so export the leaves —
+        # produced tensors nobody consumes (same rule GraphHandler.run uses)
+        outs = [t for t in graph.tensors
+                if t.source is not None and not t.targets]
+    out_names = {t.name for t in outs}
+    for t in outs:
         g.output.append(proto.ValueInfoProto.make(t.name, t.dtype.onnx_id,
                                                   t.shape))
     for t in graph.tensors:
-        if t.role == TensorRole.OTHERS and t.source is not None:
+        if t.role == TensorRole.OTHERS and t.source is not None \
+                and t.name not in out_names:
             g.value_info.append(
                 proto.ValueInfoProto.make(t.name, t.dtype.onnx_id, t.shape))
 
