@@ -65,6 +65,9 @@ class Derivator:
             out = rules.rule4_stage_merge(prog, s.name)
             if out is not None:
                 yield ("rule4_stage_merge", out)
+            out = rules.rule91_merge_stage_with_sum(prog, s.name)
+            if out is not None:
+                yield ("rule91_merge_sum", out)
 
     # -- goal ---------------------------------------------------------------
     @staticmethod

@@ -17,11 +17,12 @@ Rule map (reference -> here):
   Rule 8  guided DLT            -> rule8_guided_dlt (build DLT stages that
                                    make the main stage an exact matmul; the
                                    im2col family)
-  Rule 9  range magnify         -> folded into rule5
+  Rule 9  range magnify         -> rule9_sum_range_magnify (sum-extent
+                                   round-up with zero-padding contract)
   Rule 90 two-stage elementwise -> rule90_merge_elementwise
-  Rule 91 merge stage with sum  -> folded into rule4 (sum-free producers
-                                   inline; multiplicative sum producers
-                                   distribute)
+  Rule 91 merge stage with sum  -> rule91_merge_stage_with_sum (distribute
+                                   a product over a sum-carrying producer;
+                                   sum-free producers inline via rule4)
 """
 
 from __future__ import annotations
@@ -258,6 +259,90 @@ def rule5_range_relax(comp: Comprehension, var: Var, multiple: int
             return (Comprehension(loops, list(comp.sum_vars), comp.body),
                     new_ext - ext)
     return None
+
+
+def rule9_sum_range_magnify(comp: Comprehension, var: Var, multiple: int
+                            ) -> Optional[tuple]:
+    """Round a SUM extent up to a multiple (to hit a library kernel's tile
+    size). Returns (new_comp, pad) — the extra iterations must contribute
+    zero, so the caller zero-pads every input dimension the var indexes by
+    ``pad`` before evaluating (the reference records this as RangeOp
+    paddings, Rule9RangeMagnify, src/nnet/Pass/Rule9RangeMagnify.cc)."""
+    for idx, (v, ext) in enumerate(comp.sum_vars):
+        if v is var or v.name == getattr(var, "name", var):
+            new_ext = -(-ext // multiple) * multiple
+            if new_ext == ext:
+                return None
+            sums = list(comp.sum_vars)
+            sums[idx] = (v, new_ext)
+            return (Comprehension(list(comp.loop_vars), sums, comp.body),
+                    new_ext - ext)
+    return None
+
+
+def _product_factors(e: Expr) -> Optional[list]:
+    """Flatten a pure product tree into factors; None if any node is not
+    a multiplication (the positions where distributing a sum is unsound)."""
+    if isinstance(e, BinOp) and e.op == "*":
+        l = _product_factors(e.lhs)
+        r = _product_factors(e.rhs)
+        if l is None or r is None:
+            return None
+        return l + r
+    return [e]
+
+
+def rule91_merge_stage_with_sum(program: Program, producer_name: str
+                                ) -> Optional[Program]:
+    """Inline a SUM-carrying producer into its single consumer when the
+    access sits in a multiplicative position, distributing the product over
+    the inner sum (reference Rule91MergeStagesWithSum):
+
+        P[x]      = sum_j B(x, j)
+        out[...]  = sum_k f(k) * P(g(k))
+                 -> sum_k sum_j f(k) * B(g(k), j)
+    """
+    prog = program.clone()
+    producer = prog.stage(producer_name)
+    if not producer.comp.sum_vars or prog.stages[-1] is producer:
+        return None
+    consumers = [s for s in prog.stages if s is not producer and any(
+        t.name == producer_name for t in s.comp.inputs())]
+    if len(consumers) != 1:
+        return None
+    consumer = consumers[0]
+    factors = _product_factors(simplify(consumer.comp.body))
+    if factors is None:
+        return None
+    hits = [f for f in factors
+            if isinstance(f, Access) and f.tensor.name == producer_name]
+    if len(hits) != 1:
+        return None
+    acc = hits[0]
+    # freshen the producer's sum vars, then substitute its loop vars by the
+    # consumer's access indices
+    mapping = {v.name: idx
+               for (v, _), idx in zip(producer.comp.loop_vars, acc.indices)}
+    fresh_sums = []
+    for v, e in producer.comp.sum_vars:
+        nv = fresh_var(v.name)
+        mapping[v.name] = nv
+        fresh_sums.append((nv, e))
+    inlined = substitute(producer.comp.body, mapping)
+
+    def fn(node):
+        if node is acc or (isinstance(node, Access)
+                           and node.tensor.name == producer_name
+                           and node.indices == acc.indices):
+            return inlined
+        return None
+
+    consumer.comp = Comprehension(
+        list(consumer.comp.loop_vars),
+        list(consumer.comp.sum_vars) + fresh_sums,
+        simplify(transform(consumer.comp.body, fn)))
+    prog.stages.remove(producer)
+    return prog
 
 
 # ---------------------------------------------------------------------------

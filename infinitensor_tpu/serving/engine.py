@@ -17,6 +17,7 @@ Flow per step():
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections import deque
 from typing import Callable, Optional
 
@@ -27,7 +28,7 @@ import numpy as np
 from infinitensor_tpu.models.llama import (
     init_kv_cache, llama_decode_step, llama_prefill,
 )
-from infinitensor_tpu.serving.kvcache import write_prefill_into_slot
+from infinitensor_tpu.serving.kvcache import merge_prefill_into_slot
 
 
 @dataclasses.dataclass
@@ -65,10 +66,17 @@ class ServingEngine:
         self.pos = np.zeros(max_slots, np.int32)        # next write position
         self.last_token = np.zeros(max_slots, np.int32)
 
-        self._prefill = jax.jit(
-            lambda p, t, c: prefill_fn(p, cfg, t, c))
+        self._prefill_fn = prefill_fn
+        # admission: prefill + slot write + first-token argmax fused into ONE
+        # executable per bucket; slot/prompt-length are traced scalars so the
+        # program is reused across slots (a static slot arg was recompiling a
+        # 2L-buffer program per slot — 30s+ per admission on the real chip)
+        self._prefill_slot: dict[int, Callable] = {}
+        # decode: greedy argmax inside the launch (one round-trip per step)
         self._decode = jax.jit(
-            lambda p, t, ps, c: decode_fn(p, cfg, t, ps, c),
+            lambda p, t, ps, c: (lambda lg, cc: (
+                jnp.argmax(lg, axis=-1).astype(jnp.int32), cc))(
+                    *decode_fn(p, cfg, t, ps, c)),
             donate_argnums=3)
         # fused N-step greedy decode: one executable launch per chunk
         # amortizes dispatch latency (see models/llama.py
@@ -105,6 +113,29 @@ class ServingEngine:
                 return b
         return self.cfg.max_seq
 
+    def _prefill_slot_fn(self, bucket: int) -> Callable:
+        """One fused (prefill -> slot write -> first-token) program per
+        prompt bucket: the per-request prefill cache is created inside the
+        trace (no eager allocation launches) and the serving cache is
+        donated so the slot write is in place in HBM."""
+        fn = self._prefill_slot.get(bucket)
+        if fn is not None:
+            return fn
+        cfg, prefill_fn, init_cache = self.cfg, self._prefill_fn, \
+            self._init_cache
+
+        @functools.partial(jax.jit, donate_argnums=2)
+        def f(params, toks, cache, slot, plen):
+            pcache = init_cache(cfg, 1, max_seq=bucket,
+                                dtype=cache["k"][0].dtype)
+            logits, pcache = prefill_fn(params, cfg, toks, pcache)
+            cache = merge_prefill_into_slot(cache, pcache, slot)
+            first = jnp.argmax(logits[0, plen - 1]).astype(jnp.int32)
+            return first, cache
+
+        self._prefill_slot[bucket] = f
+        return f
+
     def _admit(self) -> None:
         for slot in range(self.B):
             if self.slots[slot] is not None or not self.pending:
@@ -114,12 +145,10 @@ class ServingEngine:
             bucket = self._bucket(S)
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :S] = req.prompt
-            pcache = self._init_cache(self.cfg, 1, max_seq=bucket,
-                                      dtype=self.cache["k"][0].dtype)
-            logits, pcache = self._prefill(self.params,
-                                           jnp.asarray(toks), pcache)
-            self.cache = write_prefill_into_slot(self.cache, pcache, slot)
-            first = int(jnp.argmax(logits[0, S - 1]))
+            first, self.cache = self._prefill_slot_fn(bucket)(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.int32(slot), jnp.int32(S))
+            first = int(first)
             req.generated.append(first)
             self.slots[slot] = req
             self.pos[slot] = S
@@ -167,8 +196,8 @@ class ServingEngine:
                 if req_done:
                     self._retire(slot)
             return len([r for r in self.slots if r is not None])
-        logits, self.cache = self._decode(self.params, token, pos, self.cache)
-        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        nxt, self.cache = self._decode(self.params, token, pos, self.cache)
+        nxt = np.asarray(nxt, np.int32)
         self.steps += 1
         for slot in active:
             req = self.slots[slot]
@@ -182,6 +211,22 @@ class ServingEngine:
             if hit_eos or full or len(req.generated) >= req.max_new_tokens:
                 self._retire(slot)
         return len([r for r in self.slots if r is not None])
+
+    def warmup(self) -> None:
+        """Compile every program the engine will launch (per-bucket prefill,
+        decode, fused-chunk decode) by running two dummy requests per bucket
+        end-to-end, then reset counters. Serving deployments warm up before
+        taking traffic; calling this keeps compile time out of throughput
+        measurements."""
+        for bucket in self.prefill_buckets:
+            self.submit([1] * min(2, bucket),
+                        max_new_tokens=max(2, self.decode_chunk))
+            self.submit([1] * bucket, max_new_tokens=max(2, self.decode_chunk))
+        self.run_to_completion()
+        self.steps = 0
+        self.tokens_out = 0
+        self.pos[:] = 0
+        self.last_token[:] = 0
 
     def run_to_completion(self, max_steps: int = 10_000) -> None:
         for _ in range(max_steps):

@@ -48,19 +48,26 @@ def clear_kv_slot(cache: dict, slot: int) -> dict:
     return _map_layers(cache, go)
 
 
-@functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
-def write_prefill_into_slot(cache: dict, prefill_cache: dict, slot: int
-                            ) -> dict:
+def merge_prefill_into_slot(cache: dict, prefill_cache: dict, slot) -> dict:
     """Merge a single-sequence prefill cache (per-layer [1, H, S, D]) into
-    `slot` of the serving cache (per-layer [B, H, S_max, D])."""
+    `slot` of the serving cache (per-layer [B, H, S_max, D]). ``slot`` may
+    be a traced int32 scalar — one compiled program serves every slot.
+    Trace-level helper; jit (with the serving cache donated) at the call
+    site so the write happens in place in HBM."""
     out = {}
     for key in cache:
         rows = []
         for buf, seg in zip(cache[key], prefill_cache[key]):
             seg = seg.astype(buf.dtype)
-            row = jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=0)
-            row = jax.lax.dynamic_update_slice(row, seg, (0, 0, 0, 0))
-            rows.append(
-                jax.lax.dynamic_update_slice_in_dim(buf, row, slot, axis=0))
+            start = (slot,) + (0,) * (buf.ndim - 1)
+            rows.append(jax.lax.dynamic_update_slice(buf, seg, start))
         out[key] = rows
     return out
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
+def write_prefill_into_slot(cache: dict, prefill_cache: dict, slot: int
+                            ) -> dict:
+    """Jitted one-shot wrapper around merge_prefill_into_slot (compiles per
+    static slot; the serving engine uses the traced-slot path instead)."""
+    return merge_prefill_into_slot(cache, prefill_cache, slot)

@@ -7,6 +7,7 @@ Run: python tools/serving_bench.py  (uses the real TPU; one process at a time)
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -29,10 +30,14 @@ def main():
     params = jax.block_until_ready(params)
     build_s = time.time() - t0
 
+    chunk = int(os.environ.get("SERVE_CHUNK", "8"))
     eng = ServingEngine(params, cfg, max_slots=8,
                         prefill_buckets=(64, 256),
                         prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
-                        init_cache_fn=init_gpt2_cache)
+                        init_cache_fn=init_gpt2_cache, decode_chunk=chunk)
+    t0 = time.time()
+    eng.warmup()
+    warmup_s = time.time() - t0
     rng = np.random.default_rng(0)
     n_req = 24
     reqs = [eng.submit(list(rng.integers(1, 50000, int(n))),
@@ -49,6 +54,8 @@ def main():
         "decode_steps": eng.steps,
         "wall_s": round(dt, 1),
         "build_s": round(build_s, 1),
+        "warmup_s": round(warmup_s, 1),
+        "decode_chunk": chunk,
     }
     print(json.dumps(result))
     assert all(r.done for r in reqs)
