@@ -159,10 +159,11 @@ def main():
                           n_kv_heads=8, intermediate=1376, max_seq=256)
         seq_ctx = min(seq_ctx, 128)
 
+    kv_quant = os.environ.get("BENCH_KV", "") == "int8"
     dev = jax.devices()[0]
     t0 = time.time()
     params = build_quant_params(cfg, jax.random.PRNGKey(0))
-    cache = init_kv_cache(cfg, batch)
+    cache = init_kv_cache(cfg, batch, kv_quant=kv_quant)
     params, cache = jax.block_until_ready((params, cache))
     build_s = time.time() - t0
 
@@ -216,14 +217,20 @@ def main():
         hbm_gbps = float(os.environ["BENCH_HBM_GBPS"])
     else:
         hbm_gbps = measure_hbm_bw(params, cfg, batch) / 1e9
-    kv_bytes = (2 * cfg.n_layers * cfg.n_kv_heads * seq_ctx * cfg.head_dim
-                * 2)  # bf16 cache read
+    if kv_quant:
+        # int8 rows + per-row f32 scale (K and V)
+        kv_bytes = (2 * cfg.n_layers * cfg.n_kv_heads * seq_ctx
+                    * (cfg.head_dim + 4))
+    else:
+        kv_bytes = (2 * cfg.n_layers * cfg.n_kv_heads * seq_ctx
+                    * cfg.head_dim * 2)  # bf16 cache read
     bits = int(os.environ.get("BENCH_BITS", "8"))
     bytes_per_tok = weight_bytes_per_token(cfg, bits) / batch + kv_bytes
     roofline = hbm_gbps * 1e9 / bytes_per_tok
 
+    kv_tag = "+kv8" if kv_quant else ""
     result = {
-        "metric": f"llama2-7b int{bits} decode tokens/sec/chip "
+        "metric": f"llama2-7b int{bits}{kv_tag} decode tokens/sec/chip "
                   f"(bs={batch}, ctx={seq_ctx})",
         "value": round(tok_s, 2),
         "unit": "tokens/s",

@@ -83,7 +83,10 @@ def decode_attention_gqa_q8(k_cache, v_cache, k_scale, v_scale, q, k, v,
                             pos):
     """INT8-KV-cache decode attention: caches int8 [B, Hkv, S, D] with
     per-(b, h, s) scales [B, Hkv, S]; dequantized on read (half the cache
-    HBM traffic of bf16 — the long-context decode win).
+    HBM traffic of bf16 — the long-context decode win). On TPU the read
+    side is the Pallas flash_decode_q8 kernel (scales folded into the
+    score/prob matrices post-dot, causal-frontier DMA clamp); this jnp
+    body is the CPU fallback and test oracle.
     Returns (out, k_cache', v_cache', k_scale', v_scale')."""
     B, Hkv, S, D = k_cache.shape
     H = q.shape[1]
@@ -97,6 +100,10 @@ def decode_attention_gqa_q8(k_cache, v_cache, k_scale, v_scale, q, k, v,
 
     k_scale = jax.vmap(upd_scale)(k_scale, ks.astype(k_scale.dtype), pos)
     v_scale = jax.vmap(upd_scale)(v_scale, vs.astype(v_scale.dtype), pos)
+
+    if is_tpu():
+        out = flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos)
+        return out, k_cache, v_cache, k_scale, v_scale
 
     rep = H // Hkv
     scale = 1.0 / math.sqrt(D)
@@ -255,4 +262,115 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
     )(pos, qg, k_cache, v_cache)
+    return out.reshape(B, H, 1, D)
+
+
+def _flash_decode_q8_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                            o_ref, m_ref, l_ref, acc_ref, *, seq_block, rep):
+    """INT8-KV flash decode. Blocks: q [rep, D] f32-castable, k/v
+    [seq_block, D] int8, ks/vs [1, seq_block] f32 per-row scales.
+
+    Dequantization is algebraic, not materialized: K's scale multiplies the
+    score matrix columns (s[r,j] = (q @ kq^T)[r,j] * ks[j]), V's scale folds
+    into the probability matrix (pv = (p * vs) @ vq) — so the [blk, D]
+    int8 tiles feed the MXU after a cast, with no [blk, D] scale multiply.
+    The HBM read per block is D+4 bytes/row vs 2D for bf16 (~2x less at
+    D=128)."""
+    import jax.experimental.pallas as pl
+
+    s_idx = pl.program_id(2)
+    pos = pos_ref[pl.program_id(0)]
+    start = s_idx * seq_block
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:, :] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:, :] = jnp.zeros_like(l_ref)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(start <= pos)
+    def _():
+        D = q_ref.shape[-1]
+        q = q_ref[:, :].astype(jnp.float32)               # [rep, D]
+        kb = k_ref[:, :].astype(jnp.float32)              # [blk, D] (int8)
+        vb = v_ref[:, :].astype(jnp.float32)              # [blk, D] (int8)
+        scale = 1.0 / math.sqrt(D)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (ks_ref[:, :] * scale)                    # fold K scales
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, seq_block), 1)
+        s = jnp.where(idx <= pos, s, -jnp.inf)            # [rep, blk]
+        m_prev = m_ref[:, :]                              # [rep, 1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_ref[:, :] = l_ref[:, :] * alpha + jnp.sum(p, -1, keepdims=True)
+        m_ref[:, :] = m_cur
+        pv = jax.lax.dot_general(p * vs_ref[:, :], vb,    # fold V scales
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+
+    @pl.when(s_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:, :] = (acc_ref[:, :] / l_ref[:, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_block", "interpret"))
+def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
+                    seq_block: int = 2048, interpret: bool = False):
+    """INT8-KV flash decode. q [B, H, 1, D]; caches int8 [B, Hkv, S, D]
+    (already appended); scales f32 [B, Hkv, S]; pos [B]. Returns
+    [B, H, 1, D]. Same causal-frontier DMA clamp as flash_decode: blocks
+    past ``pos`` are never fetched from HBM. Reference semantics:
+    attention_kvcache.cu:8-60 (+ the INT8 cache the reference lacks)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, _, D = q.shape
+    Bk, Hkv, S, Dk = k_cache.shape
+    rep = H // Hkv
+    seq_block = min(seq_block, S)
+    if S % seq_block:
+        seq_block = math.gcd(S, seq_block) or S
+    grid = (B, Hkv, S // seq_block)
+
+    qg = q.reshape(B, Hkv, rep, D)
+    ks4 = k_scale.astype(jnp.float32).reshape(B, Hkv, 1, S)
+    vs4 = v_scale.astype(jnp.float32).reshape(B, Hkv, 1, S)
+
+    def kv_index(b, h, s, pos_ref):
+        last = pos_ref[b] // seq_block
+        return (b, h, jnp.minimum(s, last), 0)
+
+    def scale_index(b, h, s, pos_ref):
+        last = pos_ref[b] // seq_block
+        return (b, h, 0, jnp.minimum(s, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, rep, D),
+                         lambda b, h, s, pos_ref: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, seq_block, D), kv_index),
+            pl.BlockSpec((None, None, seq_block, D), kv_index),
+            pl.BlockSpec((None, None, 1, seq_block), scale_index),
+            pl.BlockSpec((None, None, 1, seq_block), scale_index),
+        ],
+        out_specs=pl.BlockSpec((None, None, rep, D),
+                               lambda b, h, s, pos_ref: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_q8_kernel, seq_block=seq_block,
+                          rep=rep),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+        interpret=interpret,
+    )(pos, qg, k_cache, v_cache, ks4, vs4)
     return out.reshape(B, H, 1, D)

@@ -230,3 +230,34 @@ def test_decode_multi_matches_single_steps():
     got, t2, p2, _ = llama_decode_multi(params, cfg, tok, pos, cache, 5)
     assert (got == ref).all()
     assert (t2 == t).all() and (p2 == p).all()
+
+
+def test_flash_decode_q8_kernel_parity():
+    """Pallas INT8-KV flash-decode kernel (interpret mode) matches the jnp
+    dequant-attention oracle — scales folded post-dot must equal explicit
+    dequantization."""
+    from infinitensor_tpu.kernels.attention import (
+        flash_decode_q8, quantize_kv_row)
+    rng = np.random.default_rng(7)
+    B, H, Hkv, S, D = 2, 8, 4, 64, 32
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kq, ks = quantize_kv_row(
+        jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32))
+    vq, vs = quantize_kv_row(
+        jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32))
+    pos = jnp.asarray([13, 63], jnp.int32)
+    out = flash_decode_q8(q, kq, vq, ks, vs, pos, seq_block=16,
+                          interpret=True)
+
+    kd = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    vd = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    rep = H // Hkv
+    qf = np.asarray(q, np.float32).reshape(B, Hkv, rep, D)
+    s = np.einsum("bgrd,bgsd->bgrs", qf, kd) / np.sqrt(D)
+    mask = (np.arange(S)[None, None, None, :]
+            <= np.asarray(pos)[:, None, None, None])
+    s = np.where(mask, s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    exp = np.einsum("bgrs,bgsd->bgrd", p, vd).reshape(B, H, 1, D)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-5)
