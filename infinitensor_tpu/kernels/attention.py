@@ -323,7 +323,21 @@ def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
     (already appended); scales f32 [B, Hkv, S]; pos [B]. Returns
     [B, H, 1, D]. Same causal-frontier DMA clamp as flash_decode: blocks
     past ``pos`` are never fetched from HBM. Reference semantics:
-    attention_kvcache.cu:8-60 (+ the INT8 cache the reference lacks)."""
+    attention_kvcache.cu:8-60 (+ the INT8 cache the reference lacks).
+    Off-TPU (and not interpreting) falls back to the jnp dequant oracle."""
+    if not (interpret or is_tpu()):
+        B, H, _, D = q.shape
+        Bk, Hkv, S, Dk = k_cache.shape
+        rep = H // Hkv
+        qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
+        kf = k_cache.astype(jnp.float32) * k_scale[..., None]
+        s = jnp.einsum("bgrd,bgsd->bgrs", qf, kf) / math.sqrt(D)
+        mask = jnp.arange(S)[None, None, None, :] <= pos[:, None, None, None]
+        s = jnp.where(mask, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        vf = v_cache.astype(jnp.float32) * v_scale[..., None]
+        out = jnp.einsum("bgrs,bgsd->bgrd", p, vf)
+        return out.reshape(B, H, 1, D).astype(q.dtype)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

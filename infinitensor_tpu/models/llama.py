@@ -236,8 +236,14 @@ def _block_prefill(cfg, layer, x, pos, cache_k, cache_v, layer_idx,
             cache_k, kh.astype(cache_k.dtype), (0, 0, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, vh.astype(cache_v.dtype), (0, 0, 0, 0))
-    causal = jnp.tril(jnp.ones((S, S), bool))[None]
-    attn = _attention(q, k, v, causal)
+    # blockwise flash attention on TPU (never materializes [S, S] scores);
+    # falls back to the jnp oracle on CPU / odd shapes inside the call
+    from infinitensor_tpu.kernels.flash_attention import flash_attention
+    rep = cfg.n_heads // cfg.n_kv_heads
+    kf = kh if rep == 1 else jnp.repeat(kh, rep, axis=1)
+    vf = vh if rep == 1 else jnp.repeat(vh, rep, axis=1)
+    attn = jnp.swapaxes(
+        flash_attention(jnp.swapaxes(q, 1, 2), kf, vf, causal=True), 1, 2)
     x = x + _linear(attn.reshape(B, S, cfg.dim), layer["wo"])
     h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     x = x + _mlp(cfg, layer, h2)

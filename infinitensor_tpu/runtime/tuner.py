@@ -98,6 +98,20 @@ def tuned_flash_decode(q, k_cache, v_cache, pos,
     return flash_decode(q, k_cache, v_cache, pos, **cfg)
 
 
+def tuned_flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos,
+                          perf_engine: Optional[PerfEngine] = None):
+    """flash_decode_q8 (INT8 KV) with the seq_block knob swept."""
+    from infinitensor_tpu.kernels.attention import flash_decode_q8
+    S = k_cache.shape[2]
+    candidates = [{"seq_block": b} for b in (256, 512, 1024, 2048)
+                  if b <= max(S, 256)]
+    cfg = tune("flash_decode_q8",
+               lambda c: (lambda *a: flash_decode_q8(*a, **c)),
+               candidates, (q, k_cache, v_cache, k_scale, v_scale, pos),
+               perf_engine)
+    return flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, **cfg)
+
+
 def tuned_quant_matmul(x, qlin, perf_engine: Optional[PerfEngine] = None):
     """quant_matmul with the output-tile knob swept (kernels/quant_matmul.py)."""
     from infinitensor_tpu.kernels.quant_matmul import quant_matmul

@@ -50,10 +50,14 @@ class ServingEngine:
     def __init__(self, params, cfg, max_slots: int = 8,
                  prefill_buckets: tuple = (32, 128, 512),
                  prefill_fn=None, decode_fn=None, init_cache_fn=None,
-                 decode_chunk: int = 1):
+                 decode_chunk: int = 1, kv_quant: bool = False):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
+        if init_cache_fn is None and kv_quant:
+            # INT8 KV slots (+ per-row scale planes); the slot-management
+            # ops are ndim-generic so scales ride along (kvcache.py)
+            init_cache_fn = functools.partial(init_kv_cache, kv_quant=True)
         self._init_cache = init_cache_fn or init_kv_cache
         prefill_fn = prefill_fn or llama_prefill
         decode_fn = decode_fn or llama_decode_step

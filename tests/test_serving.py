@@ -123,3 +123,30 @@ def test_chunked_decode_same_tokens():
     for s, c in zip(single, chunked):
         assert s == c[:len(s)] and len(c) >= len(s) - 3  # truncation-equal
         assert s == c  # greedy streams must match exactly
+
+
+def test_engine_int8_kv(cfg, params):
+    """Continuous batching over the INT8 KV cache (BASELINE serving
+    config): cache planes are int8 + scales, and generated tokens track
+    the float-cache engine closely on a tiny model."""
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(1, 100, n)) for n in (4, 6)]
+    n_new = 5
+
+    ref_eng = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(8,))
+    refs = [ref_eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    ref_eng.run_to_completion()
+
+    eng = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(8,),
+                        kv_quant=True)
+    assert eng.cache["k"][0].dtype == jnp.int8
+    assert "k_scale" in eng.cache
+    reqs = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    eng.run_to_completion()
+    agree = [
+        np.mean([a == b for a, b in zip(r.generated, f.generated)])
+        for r, f in zip(reqs, refs)]
+    assert all(r.done for r in reqs)
+    assert min(agree) >= 0.6, (agree,
+                               [r.generated for r in reqs],
+                               [f.generated for f in refs])

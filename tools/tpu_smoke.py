@@ -91,6 +91,30 @@ def main():
     fr = np.asarray(mha_ref(qf, qf, qf, causal=True), np.float32)
     print(f"5. flash attention OK (max diff {np.abs(fa-fr).max():.4f})")
 
+    # 6. INT8-KV flash-decode kernel vs jnp dequant oracle
+    from infinitensor_tpu.kernels.attention import (
+        flash_decode_q8, quantize_kv_row)
+    rng = np.random.default_rng(9)
+    B, H, Hkv, S, D = 2, 8, 4, 1024, 128
+    q6 = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.bfloat16)
+    kq, ksc = quantize_kv_row(
+        jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32))
+    vq, vsc = quantize_kv_row(
+        jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32))
+    pos6 = jnp.asarray([251, 1023], jnp.int32)
+    o6 = np.asarray(flash_decode_q8(q6, kq, vq, ksc, vsc, pos6), np.float32)
+    kd = np.asarray(kq, np.float32) * np.asarray(ksc)[..., None]
+    vd = np.asarray(vq, np.float32) * np.asarray(vsc)[..., None]
+    qf6 = np.asarray(q6, np.float32).reshape(B, Hkv, H // Hkv, D)
+    s6 = np.einsum("bgrd,bgsd->bgrs", qf6, kd) / np.sqrt(D)
+    m6 = (np.arange(S)[None, None, None, :]
+          <= np.asarray(pos6)[:, None, None, None])
+    s6 = np.where(m6, s6, -np.inf)
+    p6 = np.exp(s6 - s6.max(-1, keepdims=True))
+    p6 = p6 / p6.sum(-1, keepdims=True)
+    e6 = np.einsum("bgrs,bgsd->bgrd", p6, vd).reshape(B, H, 1, D)
+    print(f"6. int8-kv flash decode OK (max diff {np.abs(o6-e6).max():.4f})")
+
     print("TPU smoke: ALL OK")
 
 
