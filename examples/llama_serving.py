@@ -21,7 +21,9 @@ def main():
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
     params = quantize_llama_params(params, bits=8, group_size=128)
 
-    eng = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(32, 128))
+    import os
+    eng = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(32, 128),
+                        kv_quant=os.environ.get("KV", "") == "int8")
     rng = __import__("numpy").random.default_rng(0)
     reqs = [eng.submit(list(rng.integers(1, 2000, int(n))),
                        max_new_tokens=24)
