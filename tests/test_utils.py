@@ -158,3 +158,43 @@ def test_tuned_quant_matmul_matches_ref(rng):
     ref = quant_matmul_ref(x, q)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+# -- data_convert analog (reference src/utils/data_convert.cc) ---------------
+
+def test_fp16_roundtrip():
+    from infinitensor_tpu.utils import float_to_fp16, fp16_to_float
+    x = np.array([0.0, 1.0, -2.5, 65504.0, 6.1e-5, 3.14159], np.float32)
+    bits = float_to_fp16(x)
+    assert bits.dtype == np.uint16
+    back = fp16_to_float(bits)
+    np.testing.assert_allclose(back, x.astype(np.float16).astype(np.float32))
+
+
+def test_bf16_roundtrip_and_rne():
+    from infinitensor_tpu.utils import float_to_bf16, bf16_to_float
+    x = np.array([0.0, 1.0, -3.0, 1e30, 1.0 + 2 ** -9], np.float32)
+    back = bf16_to_float(float_to_bf16(x))
+    # bf16 keeps 8 mantissa bits -> relative error <= 2^-8 after RNE
+    np.testing.assert_allclose(back, x, rtol=2 ** -8)
+    # exact values representable in bf16 survive exactly
+    exact = np.array([1.0, -0.5, 256.0, 0.0], np.float32)
+    np.testing.assert_array_equal(bf16_to_float(float_to_bf16(exact)), exact)
+
+
+# -- workspace (reference include/core/workspace.h) --------------------------
+
+def test_workspace_bump_and_reset():
+    from infinitensor_tpu.runtime import Workspace
+    ws = Workspace(1024)
+    a = ws.take(100)
+    b = ws.take_as((4, 8), np.float32)
+    assert a.nbytes == 100 and b.shape == (4, 8)
+    assert ws.allocated == 100 + 128
+    b[:] = 7.0  # writes land in the arena
+    import pytest
+    with pytest.raises(MemoryError):
+        ws.take(1024)
+    ws.reset()
+    assert ws.allocated == 0
+    assert ws.take(1024).nbytes == 1024
