@@ -344,3 +344,34 @@ def test_conv_act_fusion(rng):
     after = _run(h, {"x": x_np})
     np.testing.assert_allclose(list(after.values())[0],
                                list(before.values())[0], rtol=1e-5)
+
+
+def test_rewrite_speedup_workload_parity(rng):
+    """tools/rewrite_speedup.py workload: QKV merge to fixpoint + transpose
+    fold + identity/DCE preserve numerics exactly and shrink the graph."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.rewrite_speedup import build_graph
+    from infinitensor_tpu.optimizer.rewrite import optimize_graph
+    from infinitensor_tpu.optimizer.mutator import RuleBasedMutator
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+
+    base = build_graph(layers=2, batch=4, dim=64)
+    opt = build_graph(layers=2, batch=4, dim=64)
+    optimize_graph(opt, level=2)
+    mut = RuleBasedMutator()
+    while mut.merge_parallel_matmuls(opt):
+        pass
+    opt.topo_sort()
+    assert len(opt.operators) < len(base.operators)
+    # per layer: 3 matmuls -> 1 matmul + 2 pairwise splits; transpose +
+    # identity eliminated entirely
+    assert sum(o.op_type == "MatMul" for o in opt.operators) == 2 * 2
+    assert not any(o.op_type in ("Transpose", "Identity")
+                   for o in opt.operators)
+    feed = {"x": rng.standard_normal((4, 64), dtype=np.float32)}
+    a = GraphExecutor(base).run(feed, return_numpy=True)[
+        base.outputs()[0].name]
+    b = GraphExecutor(opt).run(feed, return_numpy=True)[
+        opt.outputs()[0].name]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

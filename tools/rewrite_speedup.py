@@ -1,0 +1,133 @@
+"""Graph-rewrite speedup measurement (driver metric #3).
+
+Builds a decode-shaped projection stack whose optimal form XLA cannot reach
+on its own — per layer, THREE parallel MatMuls share one activation (the
+Q/K/V pattern) and one weight arrives pre-transposed. XLA folds transposes
+into dots but never merges sibling dots (no horizontal fusion of
+independent matmuls), so the graph-level rewrites here do real work:
+
+  * RuleBasedMutator.merge_parallel_matmuls: 3 dots -> 1 wide dot + split
+    (reference DummyMutator's merge, src/core/dummy_mutator.cc:10-45)
+  * fold_transpose_into_matmul + identity/DCE cleanups (optimize_graph)
+
+Timing: honest host-fetch protocol (see docs/BENCH_NOTES.md) — two point
+counts n and 2n, each region closed by np.asarray() of a compute-dependent
+output, so the per-launch tunnel overhead cancels:
+    exec_time = (T(2n) - T(n)) / n.
+
+Usage:   python tools/rewrite_speedup.py            (real TPU)
+         env JAX_PLATFORMS=cpu python tools/rewrite_speedup.py   (CPU)
+Prints one JSON line: {"metric": "graph_rewrite_speedup", ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_graph(layers: int, batch: int, dim: int):
+    """`layers` blocks: q,k,v = x@Wq, x@Wk, x@Wv ; x' = relu(q+k+v) @ Wo^T
+    with Wo fed through an explicit Transpose (rewrite fodder)."""
+    import infinitensor_tpu as it
+
+    rng = np.random.default_rng(0)
+    h = it.GraphHandler(name="rewrite_bench")
+    x = h.input((batch, dim), name="x")
+    for i in range(layers):
+        ws = [h.weight(rng.standard_normal((dim, dim), np.float32)
+                       * (dim ** -0.5), name=f"w{n}_{i}")
+              for n in "qkv"]
+        q, k, v = (h.matmul(x, w) for w in ws)
+        s = h.relu(h.add(h.add(q, k), v))
+        wo = h.weight(rng.standard_normal((dim, dim), np.float32)
+                      * (dim ** -0.5), name=f"wo_{i}")
+        x = h.matmul(s, h.transpose(wo))          # Transpose -> transB fold
+        x = h.identity(x)                          # identity elimination
+    h.graph.infer_output_roles()
+    return h.graph
+
+
+def timed_exec(graph, feed, n: int) -> tuple[float, np.ndarray]:
+    """Per-iteration seconds via the two-point host-fetch protocol:
+    median over 3 repeats of (T(2n) - T(n)) / n, each region closed by a
+    host fetch of the final output (launch overhead cancels)."""
+    from infinitensor_tpu.runtime import GraphExecutor
+
+    ex = GraphExecutor(graph)
+    out_name = graph.outputs()[0].name
+    ex.run(feed)                                   # compile + warm
+    ex.run(feed)
+
+    def region(k: int) -> tuple[float, np.ndarray]:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = ex.run(feed)
+        res = np.asarray(out[out_name])            # host fetch = real sync
+        return time.perf_counter() - t0, res
+
+    deltas = []
+    for _ in range(3):
+        t_n, res = region(n)
+        t_2n, res = region(2 * n)
+        deltas.append((t_2n - t_n) / n)
+    return float(np.median(deltas)), res
+
+
+def main():
+    layers = int(os.environ.get("RS_LAYERS", "12"))
+    batch = int(os.environ.get("RS_BATCH", "8"))
+    dim = int(os.environ.get("RS_DIM", "2048"))
+    n = int(os.environ.get("RS_ITERS", "16"))
+
+    from infinitensor_tpu.optimizer.rewrite import optimize_graph
+    from infinitensor_tpu.optimizer.mutator import RuleBasedMutator
+    from infinitensor_tpu.optimizer.search import SearchEngine
+
+    base = build_graph(layers, batch, dim)
+    opt = build_graph(layers, batch, dim)
+    optimize_graph(opt, level=2)
+    if os.environ.get("RS_FORCE_MERGE"):
+        # force the QKV merge to fixpoint (pairwise: 3 dots -> 2 -> 1)
+        mut = RuleBasedMutator()
+        while mut.merge_parallel_matmuls(opt):
+            pass
+    else:
+        # reference semantics: beam search keeps mutants only when the
+        # measured cost model says they win (search_engine.cc:68-73)
+        opt = SearchEngine().run(opt)
+    opt.topo_sort()
+
+    n_base = len(base.operators)
+    n_opt = len(opt.operators)
+    feed = {"x": np.random.default_rng(1)
+            .standard_normal((batch, dim), np.float32)}
+
+    base_s, r1 = timed_exec(base, feed, n)
+    opt_s, o1 = timed_exec(opt, feed, n)
+
+    err = float(np.max(np.abs(r1 - o1)) / (np.max(np.abs(r1)) + 1e-9))
+    assert err < 1e-3, f"rewrite changed numerics: rel err {err}"
+
+    speedup = base_s / max(opt_s, 1e-12)
+    print(json.dumps({
+        "metric": "graph_rewrite_speedup",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup, 4),
+        "detail": {
+            "layers": layers, "batch": batch, "dim": dim,
+            "ops_before": n_base, "ops_after": n_opt,
+            "base_ms": round(base_s * 1e3, 4),
+            "optimized_ms": round(opt_s * 1e3, 4),
+            "max_rel_err": err,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
