@@ -31,6 +31,51 @@ from infinitensor_tpu.models.llama import (
 from infinitensor_tpu.serving.kvcache import merge_prefill_into_slot
 
 
+def _place_on_mesh(params, cache, cfg, mesh, param_specs=None,
+                   cache_specs=None):
+    """Commit params and KV slots to `mesh`. Defaults: Llama-family
+    Megatron TP specs for params (parallel/llama_sharding.py); for the
+    cache, any [B, H, S, ...] leaf shards batch->dp and heads->tp, with
+    axes missing from the mesh dropped."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = set(mesh.axis_names)
+    dp = "dp" if "dp" in axes else None
+    tp = "tp" if "tp" in axes else None
+
+    if param_specs is None:
+        from infinitensor_tpu.parallel.llama_sharding import (
+            llama_param_specs, tree_specs)
+        param_specs = tree_specs(params, llama_param_specs(cfg, params))
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s, _ = jax.tree_util.tree_flatten(
+        param_specs, is_leaf=lambda x: isinstance(x, P))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jax.device_put(x, NamedSharding(mesh, s))
+                  for x, s in zip(flat_p, flat_s)])
+
+    def fits(axis, size):
+        # drop a mesh axis the dim can't split over (e.g. GQA caches with
+        # fewer KV heads than TP ranks stay replicated across tp)
+        return axis if axis and size % mesh.shape[axis] == 0 else None
+
+    def default_cache_spec(leaf):
+        r = getattr(leaf, "ndim", 0)
+        if r >= 3:
+            return P(fits(dp, leaf.shape[0]), fits(tp, leaf.shape[1]),
+                     *([None] * (r - 2)))
+        return P(*([fits(dp, leaf.shape[0])] + [None] * (r - 1))) \
+            if r else P()
+
+    if cache_specs is None:
+        cache_specs = jax.tree_util.tree_map(default_cache_spec, cache)
+    cache = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache, cache_specs, is_leaf=lambda x: isinstance(x, P) or not
+        isinstance(x, (dict, list, tuple)))
+    return params, cache
+
+
 @dataclasses.dataclass
 class Request:
     uid: int
@@ -50,7 +95,8 @@ class ServingEngine:
     def __init__(self, params, cfg, max_slots: int = 8,
                  prefill_buckets: tuple = (32, 128, 512),
                  prefill_fn=None, decode_fn=None, init_cache_fn=None,
-                 decode_chunk: int = 1, kv_quant: bool = False):
+                 decode_chunk: int = 1, kv_quant: bool = False,
+                 mesh=None, param_specs=None, cache_specs=None):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
@@ -62,6 +108,15 @@ class ServingEngine:
         prefill_fn = prefill_fn or llama_prefill
         decode_fn = decode_fn or llama_decode_step
         self.cache = self._init_cache(cfg, max_slots)
+        self.mesh = mesh
+        if mesh is not None:
+            # SPMD serving: commit params + KV slots to the mesh (TP over
+            # heads/hidden, DP over slots); every jitted program below then
+            # runs sharded with GSPMD-inserted collectives. This is the
+            # multi-host continuous-batching path: dp = the cross-host axis,
+            # admission/retirement stay host-side and identical on each host.
+            self.params, self.cache = _place_on_mesh(
+                self.params, self.cache, cfg, mesh, param_specs, cache_specs)
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= cfg.max_seq) or (cfg.max_seq,)
 

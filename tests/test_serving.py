@@ -150,3 +150,52 @@ def test_engine_int8_kv(cfg, params):
     assert min(agree) >= 0.6, (agree,
                                [r.generated for r in reqs],
                                [f.generated for f in refs])
+
+
+def test_engine_sharded_mesh(cfg, params):
+    """SPMD continuous batching: engine with params/KV committed to a
+    (dp x tp) mesh produces the same tokens as the unsharded engine —
+    the multi-host serving path (dp = cross-host axis)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from infinitensor_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, cfg.vocab_size, size=n))
+               for n in (5, 9, 3, 7)]
+
+    ref = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(16,))
+    reqs = [ref.submit(p, max_new_tokens=8) for p in prompts]
+    ref.run_to_completion()
+    ref_gen = [r.generated for r in reqs]
+
+    sh = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(16,),
+                       mesh=mesh)
+    sreqs = [sh.submit(p, max_new_tokens=8) for p in prompts]
+    sh.run_to_completion()
+    for a, b in zip(ref_gen, [r.generated for r in sreqs]):
+        assert a == b
+
+
+def test_engine_sharded_int8_kv(cfg, params):
+    """INT8-KV slots (k/v + scale planes) shard with the rank-generic
+    default cache specs and still match the unsharded INT8-KV engine."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from infinitensor_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    rng = np.random.default_rng(4)
+    prompts = [list(rng.integers(1, cfg.vocab_size, size=n))
+               for n in (6, 4)]
+    ref = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(16,),
+                        kv_quant=True)
+    rref = [ref.submit(p, max_new_tokens=6) for p in prompts]
+    ref.run_to_completion()
+    sh = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(16,),
+                       kv_quant=True, mesh=mesh)
+    rsh = [sh.submit(p, max_new_tokens=6) for p in prompts]
+    sh.run_to_completion()
+    for a, b in zip(rref, rsh):
+        assert a.generated == b.generated
