@@ -395,6 +395,83 @@ def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
     return logits, new
 
 
+def _block_verify(cfg, layer, x, positions, pos0, cache_k, cache_v,
+                  k_scale=None, v_scale=None):
+    """Multi-token decode block for speculative verification. x [B, K, dim];
+    positions [B, K] = pos0[:, None] + arange(K). Writes K/V rows for ALL K
+    positions (per-slot offset pos0), then each token attends to cache rows
+    <= its own position — rows past the later-accepted prefix are dead until
+    overwritten, exactly like a rolled-back decode."""
+    B, K, _ = x.shape
+    S = cache_k.shape[2]
+    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+    q, k, v = _qkv(cfg, layer, h)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    kh = jnp.swapaxes(k, 1, 2)                     # [B, Hkv, K, D]
+    vh = jnp.swapaxes(v, 1, 2)
+
+    def put3(c, rows, p):                          # per-slot row write
+        return jax.lax.dynamic_update_slice(c, rows, (0, p, 0))
+
+    if k_scale is not None:
+        from infinitensor_tpu.kernels.attention import quantize_kv_row
+        kq, ks = quantize_kv_row(kh)
+        vq, vs = quantize_kv_row(vh)
+        cache_k = jax.vmap(put3)(cache_k, kq, pos0)
+        cache_v = jax.vmap(put3)(cache_v, vq, pos0)
+
+        def put2(c, rows, p):
+            return jax.lax.dynamic_update_slice(c, rows, (0, p))
+
+        k_scale = jax.vmap(put2)(k_scale, ks.astype(k_scale.dtype), pos0)
+        v_scale = jax.vmap(put2)(v_scale, vs.astype(v_scale.dtype), pos0)
+        kf = cache_k.astype(jnp.float32) * k_scale[..., None]
+        vf = cache_v.astype(jnp.float32) * v_scale[..., None]
+    else:
+        cache_k = jax.vmap(put3)(cache_k, kh.astype(cache_k.dtype), pos0)
+        cache_v = jax.vmap(put3)(cache_v, vh.astype(cache_v.dtype), pos0)
+        kf, vf = cache_k, cache_v
+
+    cols = jnp.arange(S, dtype=jnp.int32)
+    mask = cols[None, None, :] <= positions[:, :, None]      # [B, K, S]
+    attn = _attention(q, jnp.swapaxes(kf, 1, 2).astype(q.dtype),
+                      jnp.swapaxes(vf, 1, 2).astype(q.dtype), mask)
+    x = x + _linear(attn.reshape(B, K, cfg.dim), layer["wo"])
+    h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    x = x + _mlp(cfg, layer, h2)
+    return x, cache_k, cache_v, k_scale, v_scale
+
+
+def llama_verify_step(params, cfg: LlamaConfig, tokens, pos, cache):
+    """Speculative-decoding verify pass: score K proposed tokens per slot in
+    ONE fused forward. tokens [B, K] int32 (token j is the model input at
+    write position pos+j); pos [B] int32. Returns (logits [B, K, vocab],
+    cache'). Rejected rows need no rollback — the per-position masks above
+    (and the frontier clamp in the decode kernels) make rows past `pos`
+    invisible, so not advancing `pos` IS the rollback. The reference has no
+    speculative path; its closest machinery is the fused decode kernel
+    (src/kernels/cuda/attention_kvcache.cu) which this generalizes to K>1."""
+    B, K = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = pos[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+    quant_cache = "k_scale" in cache
+    new = {key: [] for key in cache}
+    for i, layer in enumerate(params["layers"]):
+        ks = cache["k_scale"][i] if quant_cache else None
+        vs = cache["v_scale"][i] if quant_cache else None
+        x, ck, cv, ks, vs = _block_verify(cfg, layer, x, positions, pos,
+                                          cache["k"][i], cache["v"][i],
+                                          ks, vs)
+        new["k"].append(ck)
+        new["v"].append(cv)
+        if quant_cache:
+            new["k_scale"].append(ks)
+            new["v_scale"].append(vs)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    return _linear(x, params["lm_head"]), new
+
+
 def greedy_generate(params, cfg: LlamaConfig, prompt_tokens, n_steps: int,
                     cache=None):
     """Reference-style greedy decode loop (llama_kvcache_inference.py

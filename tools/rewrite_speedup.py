@@ -52,30 +52,30 @@ def build_graph(layers: int, batch: int, dim: int):
     return h.graph
 
 
-def timed_exec(graph, feed, n: int) -> tuple[float, np.ndarray]:
-    """Per-iteration seconds via the two-point host-fetch protocol:
-    median over 3 repeats of (T(2n) - T(n)) / n, each region closed by a
-    host fetch of the final output (launch overhead cancels)."""
-    from infinitensor_tpu.runtime import GraphExecutor
-
-    ex = GraphExecutor(graph)
+def timed_exec(ex, graph, feed, n: int) -> float:
+    """Per-iteration seconds via the chained two-point host-fetch protocol
+    (docs/BENCH_NOTES.md): iterations are DATA-DEPENDENT — each run's
+    output feeds the next run's input (the workload is shape-preserving),
+    so the closing np.asarray() provably waits for the whole chain; the
+    n vs 2n two-point cancels per-launch tunnel overhead."""
+    in_name = graph.inputs()[0].name
     out_name = graph.outputs()[0].name
-    ex.run(feed)                                   # compile + warm
-    ex.run(feed)
 
-    def region(k: int) -> tuple[float, np.ndarray]:
+    def region(k: int) -> float:
+        cur = dict(feed)
         t0 = time.perf_counter()
         for _ in range(k):
-            out = ex.run(feed)
-        res = np.asarray(out[out_name])            # host fetch = real sync
-        return time.perf_counter() - t0, res
+            cur = {in_name: ex.run(cur)[out_name]}
+        np.asarray(cur[in_name])                   # forces the full chain
+        return time.perf_counter() - t0
 
+    region(2)                                      # warm the chained path
     deltas = []
-    for _ in range(3):
-        t_n, res = region(n)
-        t_2n, res = region(2 * n)
+    for _ in range(2):
+        t_n = region(n)
+        t_2n = region(2 * n)
         deltas.append((t_2n - t_n) / n)
-    return float(np.median(deltas)), res
+    return float(np.median(deltas))
 
 
 def main():
@@ -107,11 +107,17 @@ def main():
     feed = {"x": np.random.default_rng(1)
             .standard_normal((batch, dim), np.float32)}
 
-    base_s, r1 = timed_exec(base, feed, n)
-    opt_s, o1 = timed_exec(opt, feed, n)
-
+    # one executor per graph (each compiles once); parity on a single
+    # application (chained outputs amplify fp noise), then chained timing
+    from infinitensor_tpu.runtime import GraphExecutor
+    ex_base, ex_opt = GraphExecutor(base), GraphExecutor(opt)
+    r1 = np.asarray(ex_base.run(feed)[base.outputs()[0].name])
+    o1 = np.asarray(ex_opt.run(feed)[opt.outputs()[0].name])
     err = float(np.max(np.abs(r1 - o1)) / (np.max(np.abs(r1)) + 1e-9))
     assert err < 1e-3, f"rewrite changed numerics: rel err {err}"
+
+    base_s = timed_exec(ex_base, base, feed, n)
+    opt_s = timed_exec(ex_opt, opt, feed, n)
 
     speedup = base_s / max(opt_s, 1e-12)
     print(json.dumps({
