@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from infinitensor_tpu.utils.platform import is_tpu
+from infinitensor_tpu.utils.platform import (
+    is_tpu, pallas_interpret, use_pallas,
+)
 
 
 def _normalize_pos(pos, batch):
@@ -101,7 +103,7 @@ def decode_attention_gqa_q8(k_cache, v_cache, k_scale, v_scale, q, k, v,
     k_scale = jax.vmap(upd_scale)(k_scale, ks.astype(k_scale.dtype), pos)
     v_scale = jax.vmap(upd_scale)(v_scale, vs.astype(v_scale.dtype), pos)
 
-    if is_tpu():
+    if use_pallas():
         out = flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos)
         return out, k_cache, v_cache, k_scale, v_scale
 
@@ -129,7 +131,7 @@ def decode_attention_gqa(k_cache, v_cache, q, k, v, pos):
     B, Hkv, S, D = k_cache.shape
     H = q.shape[1]
     pos = _normalize_pos(pos, B)
-    if is_tpu():
+    if use_pallas():
         k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
         out = flash_decode(q, k_cache, v_cache, pos)
         return out, k_cache, v_cache
@@ -150,7 +152,7 @@ def decode_attention(k_cache, v_cache, q, k, v, pos):
     """MHA decode (H == Hkv): append + flash-decode kernel."""
     B = k_cache.shape[0]
     pos = _normalize_pos(pos, B)
-    if not is_tpu():
+    if not use_pallas():
         return decode_attention_ref(k_cache, v_cache, q, k, v, pos)
     k_cache, v_cache = _append_kv(k_cache, v_cache, k, v, pos)
     out = flash_decode(q, k_cache, v_cache, pos)
@@ -206,8 +208,9 @@ def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[:, :] = (acc_ref[:, :] / l_ref[:, :]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("seq_block",))
-def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048):
+@functools.partial(jax.jit, static_argnames=("seq_block", "interpret"))
+def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
+                 interpret: bool = False):
     """q [B, H, 1, D], caches [B, Hkv, S, D] (already appended), pos [B].
     Returns [B, H, 1, D]. H must be a multiple of Hkv (GQA).
 
@@ -223,6 +226,7 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048):
     beats 4x512 by ~1.5x — DMA setup dominates over elision at high fill),
     so the default block is 2048 and the elision pays off at low fill or
     long caches; tuned_flash_decode (runtime/tuner.py) sweeps the knob."""
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -261,6 +265,7 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048):
         functools.partial(_flash_decode_kernel, seq_block=seq_block, rep=rep),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+        interpret=interpret,
     )(pos, qg, k_cache, v_cache)
     return out.reshape(B, H, 1, D)
 
@@ -325,6 +330,7 @@ def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
     past ``pos`` are never fetched from HBM. Reference semantics:
     attention_kvcache.cu:8-60 (+ the INT8 cache the reference lacks).
     Off-TPU (and not interpreting) falls back to the jnp dequant oracle."""
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     if not (interpret or is_tpu()):
         B, H, _, D = q.shape
         Bk, Hkv, S, Dk = k_cache.shape

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from infinitensor_tpu.utils.platform import is_tpu
+from infinitensor_tpu.utils.platform import pallas_interpret, use_pallas
 
 
 def mha_ref(q, k, v, causal: bool = True):
@@ -79,12 +79,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[:, :] = (acc_ref[:, :] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
+                                              "interpret"))
 def flash_attention(q, k, v, causal: bool = True, block_q: int = 256,
-                    block_k: int = 256):
+                    block_k: int = 256, interpret: bool = False):
     """q/k/v [B, H, S, D] -> [B, H, S, D]."""
-    if not is_tpu():
+    if not use_pallas(interpret):
         return mha_ref(q, k, v, causal)
+    interpret = interpret or pallas_interpret()
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -114,5 +116,6 @@ def flash_attention(q, k, v, causal: bool = True, block_q: int = 256,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
+        interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, H, S, D)

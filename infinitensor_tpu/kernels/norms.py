@@ -13,7 +13,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from infinitensor_tpu.utils.platform import is_tpu
+from infinitensor_tpu.utils.platform import (
+    is_tpu, pallas_interpret, use_pallas,
+)
 
 
 def rmsnorm_ref(x, w, eps: float = 1e-6):
@@ -29,10 +31,13 @@ def _rmsnorm_kernel(x_ref, w_ref, o_ref, *, eps):
                    ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
-def rmsnorm(x, w, eps: float = 1e-6, block_rows: int = 256):
-    if not is_tpu():
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows",
+                                              "interpret"))
+def rmsnorm(x, w, eps: float = 1e-6, block_rows: int = 256,
+            interpret: bool = False):
+    if not use_pallas(interpret):
         return rmsnorm_ref(x, w, eps)
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -56,5 +61,6 @@ def rmsnorm(x, w, eps: float = 1e-6, block_rows: int = 256):
         out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        interpret=interpret,
     )(x2, w.reshape(1, d))
     return out.reshape(orig_shape)

@@ -27,7 +27,9 @@ import math
 import jax
 import jax.numpy as jnp
 
-from infinitensor_tpu.utils.platform import is_tpu
+from infinitensor_tpu.utils.platform import (
+    is_tpu, pallas_interpret, use_pallas,
+)
 
 
 def gather_pages(pages, block_table):
@@ -228,16 +230,17 @@ def _paged_q8_kernel(table_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref,
         o_ref[:, :] = (acc_ref[:, :] / l_ref[:, :]).astype(o_ref.dtype)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_flash_decode_q8(q, k_pages, v_pages, ks_pages, vs_pages,
-                          block_table, pos):
+                          block_table, pos, *, interpret: bool = False):
     """INT8 paged Pallas decode. q [B, H, 1, D]; pages int8
     [N, Hkv, P, D]; scale pages f32 [N, Hkv, P]; block_table [B, MP];
     pos [B]. Returns [B, H, 1, D]. ~2x less page-pool HBM traffic than
     the bf16 pool at D=128 (D+4 vs 2D bytes per cached row)."""
-    if not is_tpu():
+    if not use_pallas(interpret):
         return paged_decode_q8_ref(q, k_pages, v_pages, ks_pages, vs_pages,
                                    block_table, pos)
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -275,17 +278,20 @@ def paged_flash_decode_q8(q, k_pages, v_pages, ks_pages, vs_pages,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+        interpret=interpret,
     )(block_table.astype(jnp.int32), pos.astype(jnp.int32),
       qg, k_pages, v_pages, ks4, vs4)
     return out.reshape(B, H, 1, D)
 
 
-@jax.jit
-def paged_flash_decode(q, k_pages, v_pages, block_table, pos):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_flash_decode(q, k_pages, v_pages, block_table, pos, *,
+                       interpret: bool = False):
     """Pallas paged decode. q [B, H, 1, D]; pages [N, Hkv, P, D];
     block_table [B, MP] int32 page ids; pos [B]. Returns [B, H, 1, D]."""
-    if not is_tpu():
+    if not use_pallas(interpret):
         return paged_decode_ref(q, k_pages, v_pages, block_table, pos)
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -319,6 +325,7 @@ def paged_flash_decode(q, k_pages, v_pages, block_table, pos):
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+        interpret=interpret,
     )(block_table.astype(jnp.int32), pos.astype(jnp.int32),
       qg, k_pages, v_pages)
     return out.reshape(B, H, 1, D)

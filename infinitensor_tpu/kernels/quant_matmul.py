@@ -24,7 +24,9 @@ import math
 import jax
 import jax.numpy as jnp
 
-from infinitensor_tpu.utils.platform import is_tpu
+from infinitensor_tpu.utils.platform import (
+    is_tpu, pallas_interpret, use_pallas,
+)
 
 from infinitensor_tpu.quant.weight_only import (
     QuantizedLinear, dequantize_weight,
@@ -106,11 +108,13 @@ def _pick_bn(dout: int, din: int, bits: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_out",))
-def quant_matmul(x, q: QuantizedLinear, block_out: int = 0):
+@functools.partial(jax.jit, static_argnames=("block_out", "interpret"))
+def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
+                 interpret: bool = False):
     """x [..., din] @ q -> [..., dout]."""
-    if not is_tpu():
+    if not use_pallas(interpret):
         return quant_matmul_ref(x, q)
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -143,5 +147,6 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0):
         ],
         out_specs=pl.BlockSpec((pad_rows, bn), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
+        interpret=interpret,
     )(x2, q.qweight, q.scales)
     return out[:rows].reshape(*lead, dout)

@@ -20,6 +20,7 @@ input buffer donated so XLA updates it in place across steps.
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from typing import Any, Optional, Sequence
 
 import jax
@@ -44,17 +45,23 @@ def _to_jax(t: TensorObj):
 
 class GraphExecutor:
     def __init__(self, graph: Graph, ctx: Optional[LowerCtx] = None,
-                 device=None, donate_state: bool = True):
+                 device=None, donate_state: bool = True,
+                 cache_capacity: int = 16):
         graph.require_sorted()
         self.graph = graph
         self.ctx = ctx or LowerCtx(use_pallas=is_tpu())
         self.device = device
         self.donate_state = donate_state
+        # LRU executable cache, bounded like the reference's CUDA-Graph
+        # capture cache (include/cuda/cuda_runtime.h:66-128, capacity 16):
+        # a long-running server cycling many shape signatures must not
+        # accumulate executables without bound.
+        self.cache_capacity = max(1, int(cache_capacity))
         self._inputs = graph.inputs()
         self._outputs = graph.outputs()
         self._weights = {t.name: t for t in graph.weights()}
         self._weight_vals: Optional[dict[str, Any]] = None
-        self._cache: dict = {}       # (version, shapes-sig) -> compiled fn
+        self._cache: OrderedDict = OrderedDict()  # shapes-sig -> compiled fn
         self._graph_version = graph.version
 
     # ------------------------------------------------------------------
@@ -111,6 +118,10 @@ class GraphExecutor:
         if fn is None:
             fn = jax.jit(self._forward)
             self._cache[key] = fn
+            while len(self._cache) > self.cache_capacity:
+                self._cache.popitem(last=False)   # evict least-recent
+        else:
+            self._cache.move_to_end(key)
         return fn
 
     def run(self, inputs: Optional[dict[str, Any]] = None,
@@ -140,18 +151,38 @@ class GraphExecutor:
     # ------------------------------------------------------------------
     # timing (reference getPerfTime / printProfilingData analogs)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _host_fetch(out) -> None:
+        """End a timed region by fetching a compute-dependent output to the
+        host. On the axon platform ``jax.block_until_ready`` can return
+        EARLY (CLAUDE.md; measured artifacts: fake 15k tok/s decode) — a
+        host fetch of real output bytes cannot."""
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    def _timed_s(self, call, n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = call()
+        self._host_fetch(out)
+        return time.perf_counter() - t0
+
     def time_ms(self, inputs: Optional[dict] = None, warmup: int = 2,
                 iters: int = 10) -> float:
+        """Whole-graph latency with honest timing: host-fetch-terminated
+        regions and two-point launch-overhead cancellation
+        (per tools/bw_diag.py, the repo's reference methodology; the
+        reference analog is the ``timeit`` harness, common.h:93)."""
         inputs = self._materialize_inputs(inputs)
         fn = self._compiled(inputs)
         w = self._weight_arrays()
-        for _ in range(warmup):
-            jax.block_until_ready(fn(inputs, w))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(inputs, w)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters * 1e3
+        call = lambda: fn(inputs, w)
+        for _ in range(max(1, warmup)):
+            self._host_fetch(call())
+        iters = max(2, iters)
+        t1 = self._timed_s(call, 1)
+        tn = self._timed_s(call, iters)
+        return max((tn - t1) / (iters - 1), 0.0) * 1e3
 
     def profile(self, inputs: Optional[dict] = None,
                 perf_engine=None) -> list[tuple[str, str, float]]:
@@ -171,12 +202,11 @@ class GraphExecutor:
         for op in self.graph.operators:
             ins = [env[t.guid] if t is not None else None for t in op.inputs]
             fn = jax.jit(lambda args, op=op: lower_op(op, args, self.ctx))
-            outs = jax.block_until_ready(fn(ins))
-            t0 = time.perf_counter()
-            for _ in range(5):
-                outs = fn(ins)
-            jax.block_until_ready(outs)
-            dt_ms = (time.perf_counter() - t0) / 5 * 1e3
+            outs = fn(ins)
+            self._host_fetch(outs)            # warmup incl. compile
+            t1 = self._timed_s(lambda: fn(ins), 1)
+            t5 = self._timed_s(lambda: fn(ins), 5)
+            dt_ms = max((t5 - t1) / 4, 0.0) * 1e3
             rows.append((op.name, op.op_type, dt_ms))
             if perf_engine is not None:
                 perf_engine.set(op.workload_key(), dt_ms)

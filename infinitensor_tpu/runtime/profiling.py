@@ -13,19 +13,35 @@ import time
 from typing import Callable, Optional
 
 import jax
+import numpy as np
+
+
+def host_fetch(out) -> None:
+    """End a timed region by fetching a compute-dependent output to the
+    host. On the axon platform ``jax.block_until_ready`` can return early
+    (CLAUDE.md timing doctrine); np.asarray of real output bytes cannot."""
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
 
 
 def timeit(fn: Callable, *args, warmup: int = 2, rounds: int = 10) -> float:
-    """Median-free simple timer returning ms/call (reference timeit)."""
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(rounds):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / rounds * 1e3
+    """ms/call via host-fetch-terminated regions with two-point
+    launch-overhead cancellation (reference timeit, common.h:93; the
+    methodology is tools/bw_diag.py)."""
+    for _ in range(max(1, warmup)):
+        host_fetch(fn(*args))
+    rounds = max(2, rounds)
+
+    def region(n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        host_fetch(out)
+        return time.perf_counter() - t0
+
+    t1 = region(1)
+    tn = region(rounds)
+    return max((tn - t1) / (rounds - 1), 0.0) * 1e3
 
 
 @contextlib.contextmanager

@@ -37,17 +37,11 @@ def _args_sig(args) -> list:
 
 
 def _time_call(fn: Callable, args, warmup: int = 1, iters: int = 5) -> float:
-    """Median wall time in ms with block_until_ready sync (reference
-    ``timeit`` harness, include/core/common.h:93-96)."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append((time.perf_counter() - t0) * 1e3)
-    times.sort()
-    return times[len(times) // 2]
+    """ms/call via the repo's honest-timing protocol (host-fetch-terminated
+    two-point regions, runtime/profiling.py:timeit) — block_until_ready
+    can return early on this platform and would mis-rank configs."""
+    from infinitensor_tpu.runtime.profiling import timeit
+    return timeit(fn, *args, warmup=warmup, rounds=max(2, iters))
 
 
 def tune(name: str, make_fn: Callable[[dict], Callable],

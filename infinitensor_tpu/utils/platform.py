@@ -26,3 +26,20 @@ def is_tpu() -> bool:
     if d.platform == "tpu":
         return True
     return "tpu" in getattr(d, "device_kind", "").lower()
+
+
+def pallas_interpret() -> bool:
+    """True when Pallas kernel bodies should run under the Pallas
+    interpreter (CPU CI): set INFINITPU_PALLAS_INTERPRET=1. Checked at call
+    time (not cached) so a test fixture can toggle it. Every kernel also
+    takes an explicit ``interpret=True`` kwarg — the analog of the
+    reference's kernel-vs-oracle tests running without a GPU."""
+    import os
+
+    return bool(os.environ.get("INFINITPU_PALLAS_INTERPRET"))
+
+
+def use_pallas(interpret: bool = False) -> bool:
+    """Gate for kernel dispatch: real chip, explicit interpret request, or
+    the env toggle."""
+    return bool(interpret) or is_tpu() or pallas_interpret()

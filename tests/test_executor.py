@@ -271,6 +271,36 @@ def test_executable_cache_reuse(rng):
     assert len(ex._cache) == 1  # same signature -> same executable
 
 
+def test_executable_cache_lru_eviction(rng):
+    """Bounded LRU executable cache (reference CUDA-Graph capture cache
+    semantics, include/cuda/cuda_runtime.h:66-128: LRU, capacity 16)."""
+    h = GraphHandler()
+    x = h.input((2, 4))
+    h.relu(x)
+    ex = h.executor()
+    ex.cache_capacity = 3
+    sigs = []
+    for i in range(5):
+        feed = {x.name: np.zeros((2, 4 + i), np.float32)}
+        ex._compiled(feed)
+        sigs.append(ex._signature(feed))
+    assert len(ex._cache) == 3
+    assert sigs[0] not in ex._cache and sigs[1] not in ex._cache
+    assert list(ex._cache) == sigs[2:]
+    # a cache hit refreshes recency: sigs[2] survives the next insert
+    ex._compiled({x.name: np.zeros((2, 6), np.float32)})    # hit sigs[2]
+    ex._compiled({x.name: np.zeros((2, 99), np.float32)})   # new -> evict
+    assert sigs[2] in ex._cache and sigs[3] not in ex._cache
+
+
+def test_time_ms_host_fetch(rng):
+    h = GraphHandler()
+    x = h.input((16, 16))
+    h.relu(x)
+    ms = h.executor().time_ms(iters=3)
+    assert ms >= 0.0
+
+
 def test_profile_and_perf_engine(rng):
     from infinitensor_tpu.runtime.perf import PerfEngine
     h = GraphHandler()

@@ -1,0 +1,159 @@
+"""Every Pallas kernel body runs on CPU via the Pallas interpreter and is
+checked against its jnp oracle — so a kernel regression fails CI without a
+chip. Mirrors the reference's kernel-vs-oracle tests
+(/root/reference/test/kernels/cuda/test_cuda_matmul.cc) which run the CUDA
+kernel against the native-CPU kernel; here interpret=True is the 'device'.
+
+Fallback-proofing: where a kernel can silently fall back to its *_ref twin
+(shape gates), the twin is monkeypatched to raise so a fallback fails loudly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from infinitensor_tpu.kernels import attention as att
+from infinitensor_tpu.kernels import flash_attention as fa
+from infinitensor_tpu.kernels import norms
+from infinitensor_tpu.kernels import paged_attention as pa
+from infinitensor_tpu.kernels import quant_matmul as qm
+from infinitensor_tpu.quant.weight_only import quantize_weight
+
+
+def _boom(*a, **k):
+    raise AssertionError("kernel fell back to the jnp reference")
+
+
+def test_flash_attention_interpret(rng):
+    B, H, S, D = 1, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    for causal in (True, False):
+        want = fa.mha_ref(q, k, v, causal)
+        got = fa.flash_attention(q, k, v, causal=causal, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_interpret(rng):
+    B, H, Hkv, S, D = 2, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    pos = jnp.asarray([100, S - 1], jnp.int32)
+    got = att.flash_decode(q, kc, vc, pos, seq_block=128, interpret=True)
+    # oracle: masked GQA over the dense cache
+    rep = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
+    s = jnp.einsum("bgrd,bgsd->bgrs", qf, kc) / np.sqrt(D)
+    mask = jnp.arange(S)[None, None, None, :] <= pos[:, None, None, None]
+    p = jax.nn.softmax(jnp.where(mask, s, -jnp.inf), axis=-1)
+    want = jnp.einsum("bgrs,bgsd->bgrd", p, vc).reshape(B, H, 1, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_q8_interpret(rng):
+    B, H, Hkv, S, D = 2, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kc = jnp.asarray(rng.integers(-127, 128, (B, Hkv, S, D)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 128, (B, Hkv, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, S)), jnp.float32)
+    pos = jnp.asarray([31, S - 1], jnp.int32)
+    got = att.flash_decode_q8(q, kc, vc, ks, vs, pos, seq_block=128,
+                              interpret=True)
+    # the fn's own jnp fallback is the oracle (reached when off-TPU and
+    # not interpreting)
+    want = att.flash_decode_q8(q, kc, vc, ks, vs, pos, seq_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_matmul_interpret(rng, bits, monkeypatch):
+    din, dout = 512, 256
+    w = rng.standard_normal((din, dout)).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w), bits=bits, group_size=128)
+    x = jnp.asarray(rng.standard_normal((3, din)), jnp.float32)
+    want = qm.quant_matmul_ref(x, q)
+    monkeypatch.setattr(qm, "quant_matmul_ref", _boom)
+    got = qm.quant_matmul(x, q, interpret=True)
+    # kernel dequantizes to bf16 in-registers (MXU input dtype); the fp32
+    # oracle doesn't — tolerance is bf16 mantissa on |acc| ~ sqrt(din)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.3, rtol=0.05)
+
+
+def test_rmsnorm_interpret(rng, monkeypatch):
+    rows, d = 64, 256
+    x = jnp.asarray(rng.standard_normal((rows, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    want = norms.rmsnorm_ref(x, w)
+    monkeypatch.setattr(norms, "rmsnorm_ref", _boom)
+    got = norms.rmsnorm(x, w, block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def _paged_setup(rng, q8=False):
+    B, H, Hkv, D = 2, 4, 2, 64
+    P, N, MP = 64, 8, 3
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    if q8:
+        kp = jnp.asarray(rng.integers(-127, 128, (N, Hkv, P, D)), jnp.int8)
+        vp = jnp.asarray(rng.integers(-127, 128, (N, Hkv, P, D)), jnp.int8)
+        ksp = jnp.asarray(rng.uniform(0.005, 0.02, (N, Hkv, P)), jnp.float32)
+        vsp = jnp.asarray(rng.uniform(0.005, 0.02, (N, Hkv, P)), jnp.float32)
+    else:
+        kp = jnp.asarray(rng.standard_normal((N, Hkv, P, D)), jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((N, Hkv, P, D)), jnp.float32)
+        ksp = vsp = None
+    table = jnp.asarray([[0, 3, 5], [7, 2, 1]], jnp.int32)
+    pos = jnp.asarray([70, P * MP - 1], jnp.int32)
+    return q, kp, vp, ksp, vsp, table, pos
+
+
+def test_paged_decode_interpret(rng):
+    q, kp, vp, _, _, table, pos = _paged_setup(rng)
+    want = pa.paged_decode_ref(q, kp, vp, table, pos)
+    got = pa.paged_flash_decode(q, kp, vp, table, pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_paged_decode_q8_interpret(rng):
+    q, kp, vp, ksp, vsp, table, pos = _paged_setup(rng, q8=True)
+    want = pa.paged_decode_q8_ref(q, kp, vp, ksp, vsp, table, pos)
+    got = pa.paged_flash_decode_q8(q, kp, vp, ksp, vsp, table, pos,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_env_toggle_routes_dispatchers(rng, monkeypatch):
+    """INFINITPU_PALLAS_INTERPRET=1 routes the high-level dispatchers
+    (decode_attention_gqa et al.) through the kernel bodies on CPU."""
+    monkeypatch.setenv("INFINITPU_PALLAS_INTERPRET", "1")
+    B, H, Hkv, S, D = 1, 4, 2, 192, 64   # unique shapes: avoid jit cache
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    pos = jnp.asarray([S // 2], jnp.int32)
+    out, kc2, vc2 = att.decode_attention_gqa(kc, vc, q, k, v, pos)
+    monkeypatch.delenv("INFINITPU_PALLAS_INTERPRET")
+    # oracle via the pure-jnp path
+    rep = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
+    s = jnp.einsum("bgrd,bgsd->bgrs", qf, kc2.astype(jnp.float32)) \
+        / np.sqrt(D)
+    mask = jnp.arange(S)[None, None, None, :] <= pos[:, None, None, None]
+    p = jax.nn.softmax(jnp.where(mask, s, -jnp.inf), axis=-1)
+    want = jnp.einsum("bgrs,bgsd->bgrd", p, vc2.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want.reshape(B, H, 1, D)),
+        atol=2e-5, rtol=2e-5)
