@@ -1,8 +1,11 @@
-"""Headline benchmark: Llama-2-7B INT8 weight-only decode on one TPU chip.
+"""Headline benchmark: Llama-2-7B INT4 weight-only + INT8 KV-cache decode on
+one TPU chip (the BASELINE flagship config).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints the headline JSON line LAST: {"metric", "value", "unit",
+"vs_baseline", ...extras}; when BENCH_SERVING=1 (default) a GPT-2 345M INT8
+continuous-batching serving line (BASELINE config 3) is printed first.
 vs_baseline = measured tokens/sec divided by the HBM-bandwidth roofline for
-weight-only INT8 decode on this chip (the reference publishes no absolute
+weight-only decode on this chip (the reference publishes no absolute
 numbers — BASELINE.md — so roofline fraction is the honest denominator; the
 BASELINE.json target is >=85% of dequant+matmul roofline).
 
@@ -30,7 +33,7 @@ def build_quant_params(cfg, key):
     L = cfg.n_layers
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
 
-    bits = int(os.environ.get("BENCH_BITS", "8"))
+    bits = int(os.environ.get("BENCH_BITS", "4"))
 
     def qlin_stack(k, din, dout, bits=bits, group=128):
         while din % group:
@@ -144,11 +147,30 @@ def weight_bytes_per_token(cfg, bits=8, group=128):
     return total * bits / 8 + total / group * 4
 
 
+def run_serving_bench():
+    """Emit the BASELINE 'GPT-2 345M INT8 continuous batching' line
+    (tools/serving_bench.py) before the headline; failures must never
+    sink the headline measurement."""
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import serving_bench
+        serving_bench.main()
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "gpt2-345m int8 continuous batching tokens/s",
+            "error": repr(e)[:300]}), file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from infinitensor_tpu.models.llama import (
         LlamaConfig, init_kv_cache, llama_decode_step)
+
+    if (os.environ.get("BENCH_SERVING", "1") == "1"
+            and not os.environ.get("BENCH_SMALL")):
+        run_serving_bench()
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     seq_ctx = int(os.environ.get("BENCH_CTX", "1024"))
@@ -159,7 +181,7 @@ def main():
                           n_kv_heads=8, intermediate=1376, max_seq=256)
         seq_ctx = min(seq_ctx, 128)
 
-    kv_quant = os.environ.get("BENCH_KV", "") == "int8"
+    kv_quant = os.environ.get("BENCH_KV", "int8") == "int8"
     dev = jax.devices()[0]
     t0 = time.time()
     params = build_quant_params(cfg, jax.random.PRNGKey(0))
@@ -224,7 +246,7 @@ def main():
     else:
         kv_bytes = (2 * cfg.n_layers * cfg.n_kv_heads * seq_ctx
                     * cfg.head_dim * 2)  # bf16 cache read
-    bits = int(os.environ.get("BENCH_BITS", "8"))
+    bits = int(os.environ.get("BENCH_BITS", "4"))
     bytes_per_tok = weight_bytes_per_token(cfg, bits) / batch + kv_bytes
     roofline = hbm_gbps * 1e9 / bytes_per_tok
 
