@@ -181,15 +181,23 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None,
 
 def init_paged_kv_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
                         max_slots: int, max_seq: Optional[int] = None,
-                        dtype=None) -> dict:
+                        dtype=None, kv_quant: bool = False) -> dict:
     """Paged cache dict (vLLM-style; serving/paged_cache.py manages the
-    host-side free list). llama_decode_step dispatches on 'k_pages'."""
+    host-side free list). llama_decode_step dispatches on 'k_pages';
+    kv_quant adds INT8 pages + per-row f32 scale pages ('ks_pages')."""
     from infinitensor_tpu.serving.paged_cache import init_paged_cache
     c = init_paged_cache(cfg.n_layers, n_pages, cfg.n_kv_heads, page_size,
                          cfg.head_dim, max_slots, max_seq or cfg.max_seq,
-                         dtype or cfg.dtype)
-    return {"k_pages": c.k_pages, "v_pages": c.v_pages,
-            "block_table": c.block_table}
+                         jnp.int8 if kv_quant else (dtype or cfg.dtype))
+    out = {"k_pages": c.k_pages, "v_pages": c.v_pages,
+           "block_table": c.block_table}
+    if kv_quant:
+        sshape = (n_pages, cfg.n_kv_heads, page_size)
+        out["ks_pages"] = [jnp.zeros(sshape, jnp.float32)
+                           for _ in range(cfg.n_layers)]
+        out["vs_pages"] = [jnp.zeros(sshape, jnp.float32)
+                           for _ in range(cfg.n_layers)]
+    return out
 
 
 def _attention(q, k, v, mask):
@@ -333,10 +341,14 @@ def _block_decode(cfg, layer, x, pos, cache_k, cache_v, k_scale=None,
     return x, cache_k, cache_v, k_scale, v_scale
 
 
-def _block_decode_paged(cfg, layer, x, pos, k_pages, v_pages, table):
-    """Decode block against a paged KV cache (kernels/paged_attention.py)."""
+def _block_decode_paged(cfg, layer, x, pos, k_pages, v_pages, table,
+                        ks_pages=None, vs_pages=None):
+    """Decode block against a paged KV cache (kernels/paged_attention.py).
+    When ks_pages/vs_pages are given the pages are INT8 with per-row f32
+    scales (paged_append_q8 / paged_flash_decode_q8)."""
     from infinitensor_tpu.kernels.paged_attention import (
-        paged_append, paged_flash_decode)
+        paged_append, paged_append_q8, paged_flash_decode,
+        paged_flash_decode_q8)
     B = x.shape[0]
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
     q, k, v = _qkv(cfg, layer, h)
@@ -344,15 +356,23 @@ def _block_decode_paged(cfg, layer, x, pos, k_pages, v_pages, table):
     q = rope(q, pos2, cfg.rope_theta)
     k = rope(k, pos2, cfg.rope_theta)
     qh = jnp.swapaxes(q, 1, 2)
-    kh = jnp.swapaxes(k, 1, 2).astype(k_pages.dtype)
-    vh = jnp.swapaxes(v, 1, 2).astype(v_pages.dtype)
-    k_pages, v_pages = paged_append(k_pages, v_pages, kh, vh, table, pos)
-    out = paged_flash_decode(qh, k_pages, v_pages, table, pos)
+    if ks_pages is not None:
+        kh = jnp.swapaxes(k, 1, 2)
+        vh = jnp.swapaxes(v, 1, 2)
+        k_pages, v_pages, ks_pages, vs_pages = paged_append_q8(
+            k_pages, v_pages, ks_pages, vs_pages, kh, vh, table, pos)
+        out = paged_flash_decode_q8(qh, k_pages, v_pages, ks_pages,
+                                    vs_pages, table, pos)
+    else:
+        kh = jnp.swapaxes(k, 1, 2).astype(k_pages.dtype)
+        vh = jnp.swapaxes(v, 1, 2).astype(v_pages.dtype)
+        k_pages, v_pages = paged_append(k_pages, v_pages, kh, vh, table, pos)
+        out = paged_flash_decode(qh, k_pages, v_pages, table, pos)
     attn = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
     x = x + _linear(attn, layer["wo"])
     h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     x = x + _mlp(cfg, layer, h2)
-    return x, k_pages, v_pages
+    return x, k_pages, v_pages, ks_pages, vs_pages
 
 
 def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
@@ -368,13 +388,20 @@ def llama_decode_step(params, cfg: LlamaConfig, token, pos, cache):
     if "k_pages" in cache:
         x = jnp.take(params["embed"], token, axis=0)[:, None, :]
         table = cache["block_table"]
-        new = {"k_pages": [], "v_pages": [], "block_table": table}
+        q8 = "ks_pages" in cache
+        new = {key: [] for key in cache}
+        new["block_table"] = table
         for i, layer in enumerate(params["layers"]):
-            x, kp, vp = _block_decode_paged(
+            x, kp, vp, ksp, vsp = _block_decode_paged(
                 cfg, layer, x, pos, cache["k_pages"][i],
-                cache["v_pages"][i], table)
+                cache["v_pages"][i], table,
+                cache["ks_pages"][i] if q8 else None,
+                cache["vs_pages"][i] if q8 else None)
             new["k_pages"].append(kp)
             new["v_pages"].append(vp)
+            if q8:
+                new["ks_pages"].append(ksp)
+                new["vs_pages"].append(vsp)
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         return _linear(x[:, 0], params["lm_head"]), new
     x = jnp.take(params["embed"], token, axis=0)[:, None, :]

@@ -1,0 +1,165 @@
+"""Paged continuous-batching serving engine.
+
+Drives the page-pool KV machinery (serving/paged_cache.py,
+kernels/paged_attention.py) from the continuous batcher — the place paging
+pays: heterogeneous sequence lengths share one pool, so total live tokens
+can exceed any slot-contiguous layout's capacity (max_slots * max_seq is
+never reserved). The reference's analog is the heap-region KV lifecycle
+(reference src/core/graph.cc:578-633 cloneKV/free_heap + LazyAllocator
+heapAlloc): allocate on admission, reclaim on retirement.
+
+Design:
+* page 0 is a TRASH page — never allocated; block-table padding points at
+  it, so an append past a slot's reservation (chunked decode overrun) or a
+  prefill-bucket tail lands in a page nobody reads (positions gate
+  attention) instead of corrupting a neighbour's page;
+* admission control: a request is admitted only when the pool has pages
+  for prompt + max_new_tokens + decode_chunk slack; otherwise it (and
+  everything behind it — FIFO) waits for a retirement to reclaim pages;
+* prefill writes a dense [1, Hkv, bucket, D] cache, then one fused program
+  scatters its page-aligned row blocks through the block-table row
+  (bucket is rounded up to a page multiple).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitensor_tpu.models.llama import (
+    init_kv_cache, init_paged_kv_cache,
+)
+from infinitensor_tpu.serving.engine import ServingEngine
+from infinitensor_tpu.serving.paged_cache import PageAllocator
+
+_PAGE_KEYS = {"k": "k_pages", "v": "v_pages",
+              "k_scale": "ks_pages", "v_scale": "vs_pages"}
+
+
+def scatter_prefill_into_pages(cache: dict, pcache: dict, row,
+                               page_size: int) -> dict:
+    """Scatter a dense single-sequence prefill cache into the page pool.
+
+    pcache: per-layer dense [1, Hkv, S, D] (and [1, Hkv, S] scale planes
+    for INT8), S a multiple of page_size; row [max_pages] int32 page ids
+    (traced — one compiled program serves every admission). Trace-level:
+    jit at the call site with the pool donated."""
+    out = dict(cache)
+    for dense_key, page_key in _PAGE_KEYS.items():
+        if dense_key not in pcache or page_key not in cache:
+            continue
+        pages_new = []
+        for pool, seg in zip(cache[page_key], pcache[dense_key]):
+            seg = seg[0].astype(pool.dtype)          # [Hkv, S(, D)]
+            Hkv, S = seg.shape[0], seg.shape[1]
+            nb = S // page_size
+            blocks = seg.reshape((Hkv, nb, page_size) + seg.shape[2:])
+            blocks = jnp.moveaxis(blocks, 1, 0)      # [nb, Hkv, P(, D)]
+            for j in range(nb):
+                start = (row[j],) + (0,) * (pool.ndim - 1)
+                pool = jax.lax.dynamic_update_slice(
+                    pool, blocks[j][None], start)
+            pages_new.append(pool)
+        out[page_key] = pages_new
+    return out
+
+
+class PagedServingEngine(ServingEngine):
+    """Continuous batcher over a paged KV pool (Llama family by default;
+    any model whose decode_fn dispatches on 'k_pages' works)."""
+
+    def __init__(self, params, cfg, max_slots: int = 8,
+                 n_pages: int = 64, page_size: int = 64,
+                 prefill_buckets: tuple = (32, 128, 512),
+                 prefill_fn=None, decode_fn=None, decode_chunk: int = 1,
+                 kv_quant: bool = False, mesh=None, param_specs=None,
+                 cache_specs=None):
+        self.page_size = int(page_size)
+        self.kv_quant = bool(kv_quant)
+        # prefill buckets must be page-aligned for the scatter
+        buckets = tuple(sorted({
+            ((b + page_size - 1) // page_size) * page_size
+            for b in prefill_buckets}))
+
+        def make_cache(cfg_, batch, max_seq=None, dtype=None):
+            return init_paged_kv_cache(cfg_, n_pages, page_size, batch,
+                                       max_seq, dtype, kv_quant=kv_quant)
+
+        super().__init__(params, cfg, max_slots, buckets, prefill_fn,
+                         decode_fn, make_cache, decode_chunk,
+                         kv_quant=False, mesh=mesh, param_specs=param_specs,
+                         cache_specs=cache_specs)
+        mp = int(self.cache["block_table"].shape[1])
+        # page 0 reserved as the trash page: allocator hands out 1..N-1
+        self.allocator = PageAllocator(n_pages, max_slots, mp)
+        self.allocator.free = [p for p in self.allocator.free if p != 0]
+
+    # -- admission ------------------------------------------------------
+    def _pages_for(self, req) -> int:
+        toks = (len(req.prompt) + req.max_new_tokens
+                + self.decode_chunk + 1)
+        return min((toks + self.page_size - 1) // self.page_size,
+                   self.allocator.max_pages)
+
+    def _admit(self) -> None:
+        for slot in range(self.B):
+            if self.slots[slot] is not None or not self.pending:
+                continue
+            req = self.pending[0]
+            need = max(self._pages_for(req),
+                       self._bucket(len(req.prompt)) // self.page_size)
+            if not self.allocator.can_alloc(need):
+                return          # pool exhausted: FIFO waits for reclaim
+            self.pending.popleft()
+            self.allocator.alloc(slot, need)
+            row = np.asarray(self.allocator.table_row(slot), np.int32)
+            self.cache["block_table"] = \
+                self.cache["block_table"].at[slot].set(jnp.asarray(row))
+
+            S = len(req.prompt)
+            bucket = self._bucket(S)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :S] = req.prompt
+            first, self.cache = self._prefill_slot_fn(bucket)(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.asarray(row), jnp.int32(S))
+            req.generated.append(int(first))
+            self.slots[slot] = req
+            self.pos[slot] = S
+            self.last_token[slot] = int(first)
+            self.tokens_out += 1
+
+    def _retire(self, slot: int) -> None:
+        super()._retire(slot)
+        self.allocator.release(slot)      # page reclaim (free_heap analog)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self.allocator.free)
+
+    # -- prefill --------------------------------------------------------
+    def _prefill_slot_fn(self, bucket: int):
+        """Fused (dense prefill -> page scatter -> first token) program per
+        bucket; the traced block-table row makes it slot-agnostic."""
+        fn = self._prefill_slot.get(bucket)
+        if fn is not None:
+            return fn
+        cfg, prefill_fn = self.cfg, self._prefill_fn
+        page_size, kv_quant = self.page_size, self.kv_quant
+
+        @functools.partial(jax.jit, donate_argnums=2)
+        def f(params, toks, cache, row, plen):
+            dtype = None if kv_quant else cache["k_pages"][0].dtype
+            pcache = init_kv_cache(cfg, 1, max_seq=bucket, dtype=dtype,
+                                   kv_quant=kv_quant)
+            logits, pcache = prefill_fn(params, cfg, toks, pcache)
+            cache = scatter_prefill_into_pages(cache, pcache, row,
+                                               page_size)
+            first = jnp.argmax(logits[0, plen - 1]).astype(jnp.int32)
+            return first, cache
+
+        self._prefill_slot[bucket] = f
+        return f
