@@ -37,6 +37,21 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def run(self, graph: Graph) -> Graph:
+        """Full search: horizontal multi-branch merge variants (reference
+        searchMerge, search_engine.cc:206-316) x per-partition mutation
+        beam, winner picked by the perf-cache cost model."""
+        graph.require_sorted()
+        from infinitensor_tpu.optimizer.merge import search_merge
+        variants = [graph] + search_merge(graph)
+        best, best_cost = None, float("inf")
+        for variant in variants:
+            out = self._run_partitions(variant)
+            cost = self._score(out)
+            if cost < best_cost:
+                best, best_cost = out, cost
+        return best
+
+    def _run_partitions(self, graph: Graph) -> Graph:
         graph.require_sorted()
         partitions = self.partition(graph)
         best_ops: list[Operator] = []

@@ -1,0 +1,112 @@
+"""Horizontal multi-branch merge (reference searchMerge,
+src/core/search_engine.cc:206-316 + dummy_mutator.cc mergeMultiBranch):
+sibling compute ops fuse into one bigger op, numerics preserved."""
+
+import numpy as np
+
+from infinitensor_tpu.core.handler import GraphHandler
+from infinitensor_tpu.optimizer.merge import (
+    apply_merges, find_merge_groups, search_merge)
+from infinitensor_tpu.optimizer.search import SearchEngine
+from infinitensor_tpu.runtime.executor import GraphExecutor
+
+
+def _outputs(graph, feeds):
+    return GraphExecutor(graph).run(feeds, return_numpy=True)
+
+
+def test_shared_input_matmuls_merge(rng):
+    h = GraphHandler()
+    x = h.input((6, 16), name="x")
+    w1 = h.weight(rng.standard_normal((16, 8), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((16, 12), dtype=np.float32))
+    o1 = h.matmul(x, w1)
+    o2 = h.matmul(x, w2)
+    h.graph.infer_output_roles()
+    groups = find_merge_groups(h.graph)
+    assert ("shared_a_matmul" in {k for k, _ in groups})
+    merged = apply_merges(h.graph, groups)
+    assert merged is not None
+    assert sum(op.op_type == "MatMul" for op in merged.operators) == 1
+    feeds = {"x": rng.standard_normal((6, 16), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_matmuls_merge(rng):
+    h = GraphHandler()
+    a = h.input((4, 8), name="a")
+    b = h.input((4, 8), name="b")
+    w1 = h.weight(rng.standard_normal((8, 8), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((8, 8), dtype=np.float32))
+    h.matmul(a, w1)
+    h.matmul(b, w2)
+    h.graph.infer_output_roles()
+    groups = find_merge_groups(h.graph)
+    assert groups and groups[0][0] == "stacked_matmul"
+    merged = apply_merges(h.graph, groups)
+    assert sum(op.op_type == "MatMul" for op in merged.operators) == 1
+    mm = next(op for op in merged.operators if op.op_type == "MatMul")
+    assert mm.inputs[0].shape == (2, 4, 8)       # batched
+    feeds = {"a": rng.standard_normal((4, 8), dtype=np.float32),
+             "b": rng.standard_normal((4, 8), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
+
+
+def test_sibling_convs_merge(rng):
+    h = GraphHandler()
+    x = h.input((1, 3, 8, 8), name="x")
+    w1 = h.weight(rng.standard_normal((4, 3, 3, 3), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((6, 3, 3, 3), dtype=np.float32))
+    h.conv(x, w1, pads=(1, 1))
+    h.conv(x, w2, pads=(1, 1))
+    h.graph.infer_output_roles()
+    groups = [g for g in find_merge_groups(h.graph)
+              if g[0] == "sibling_conv"]
+    assert groups
+    merged = apply_merges(h.graph, groups)
+    assert sum(op.op_type == "Conv" for op in merged.operators) == 1
+    conv = next(op for op in merged.operators if op.op_type == "Conv")
+    assert conv.outputs[0].shape[1] == 10        # 4 + 6 channels
+    feeds = {"x": rng.standard_normal((1, 3, 8, 8), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-4, atol=1e-4)
+
+
+def test_no_merge_across_dependency(rng):
+    """Chained matmuls (one feeds the other) must NOT merge."""
+    h = GraphHandler()
+    x = h.input((8, 8), name="x")
+    w1 = h.weight(rng.standard_normal((8, 8), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((8, 8), dtype=np.float32))
+    y = h.matmul(x, w1)
+    h.matmul(y, w2)
+    h.graph.infer_output_roles()
+    assert find_merge_groups(h.graph) == []
+
+
+def test_search_engine_merges_two_branch_graph(rng):
+    """End-to-end: SearchEngine.run on a two-branch graph returns an
+    equivalent graph, and the merged variant is among those scored."""
+    h = GraphHandler()
+    x = h.input((4, 32), name="x")
+    w1 = h.weight(rng.standard_normal((32, 16), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((32, 16), dtype=np.float32))
+    h.matmul(x, w1)
+    h.matmul(x, w2)
+    h.graph.infer_output_roles()
+    variants = search_merge(h.graph)
+    assert variants, "two-branch graph must yield a merged variant"
+    out = SearchEngine().run(h.graph)
+    feeds = {"x": rng.standard_normal((4, 32), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(out, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
