@@ -43,31 +43,101 @@ class Candidate:
 class Derivator:
     """BFS with hash pruning (reference Derivator::search / guided mode)."""
 
+    #: rules eligible as search moves; tests disable rule 8 to prove the
+    #: rule-3 + iterator-table path finds conv->gemm on its own
+    ALL_RULES = frozenset({1, 2, 3, 4, 5, 8, 9, 90, 91})
+
     def __init__(self, max_depth: int = 4, max_states: int = 256,
-                 verify: bool = True, rng_seed: int = 0):
+                 verify: bool = True, rng_seed: int = 0,
+                 enabled_rules=None, max_verified: int = 8):
         self.max_depth = max_depth
         self.max_states = max_states
         self.verify = verify
+        self.max_verified = max_verified
+        self.enabled = frozenset(enabled_rules) if enabled_rules is not None \
+            else self.ALL_RULES
         self.rng = np.random.default_rng(rng_seed)
         self.n_states_visited = 0
         self.intermediate_states: list[Program] = []  # derivator.h:150 analog
 
     # -- moves --------------------------------------------------------------
+    @staticmethod
+    def _divisor_factors(ext: int, cap: int = 3) -> list:
+        """Bounded factor set from the dim's divisors (reference Rule 1's
+        enumeration, bounded for search tractability)."""
+        return [f for f in range(2, min(ext, 65)) if ext % f == 0][:cap]
+
     def _moves(self, prog: Program):
+        on = self.enabled
         for s in prog.stages:
-            out = rules.rule8_guided_dlt(prog, s.name)
-            if out is not None:
-                yield ("rule8_guided_dlt", out)
-            out = rules.rule90_merge_elementwise(prog, s.name)
-            if out is not None:
-                yield ("rule90_elementwise", out)
+            if 8 in on:
+                out = rules.rule8_guided_dlt(prog, s.name)
+                if out is not None:
+                    yield ("rule8_guided_dlt", out)
+            if 90 in on:
+                out = rules.rule90_merge_elementwise(prog, s.name)
+                if out is not None:
+                    yield ("rule90_elementwise", out)
         for s in prog.stages[:-1]:
-            out = rules.rule4_stage_merge(prog, s.name)
-            if out is not None:
-                yield ("rule4_stage_merge", out)
-            out = rules.rule91_merge_stage_with_sum(prog, s.name)
-            if out is not None:
-                yield ("rule91_merge_sum", out)
+            if 4 in on:
+                out = rules.rule4_stage_merge(prog, s.name)
+                if out is not None:
+                    yield ("rule4_stage_merge", out)
+            if 91 in on:
+                out = rules.rule91_merge_stage_with_sum(prog, s.name)
+                if out is not None:
+                    yield ("rule91_merge_sum", out)
+        # Rule 3: materialize non-plain (strided/dilated/padded) accesses
+        # as gather producer stages — the move that, composed with the
+        # iterator-table matmul match, finds conv->gemm by search.
+        if 3 in on:
+            for s in prog.stages:
+                if not s.comp.sum_vars:
+                    continue
+                from infinitensor_tpu.nnet.expr import Var as _Var
+                for acc in rules.collect_accesses(s.comp.body):
+                    plain = all(isinstance(i, _Var) for i in acc.indices)
+                    if plain and not acc.tensor.paddings:
+                        continue
+                    out = rules.rule3_stage_split(prog, s.name, acc)
+                    if out is not None:
+                        yield ("rule3_stage_split", out)
+        # Rule 1: variable splits over bounded divisor factor sets
+        if 1 in on:
+            for s in prog.stages:
+                for v, ext in s.comp.sum_vars:
+                    for f in self._divisor_factors(ext):
+                        out = rules.rule1_program(prog, s.name, v.name, f)
+                        if out is not None:
+                            yield ("rule1_sum_split", out)
+                for v, ext in s.comp.loop_vars:
+                    for f in self._divisor_factors(ext, cap=1):
+                        out = rules.rule1_loop_program(prog, s.name,
+                                                       v.name, f)
+                        if out is not None:
+                            yield ("rule1_loop_split", out)
+        # Rule 2: adjacent sum-var merges
+        if 2 in on:
+            for s in prog.stages:
+                sums = s.comp.sum_vars
+                for (v1, _), (v2, _) in zip(sums, sums[1:]):
+                    out = rules.rule2_program(prog, s.name, v1.name, v2.name)
+                    if out is not None:
+                        yield ("rule2_sum_merge", out)
+        # Rules 5/9: round extents up to the TPU tile quantum (8 sublanes)
+        for s in prog.stages:
+            if 5 in on:
+                for v, ext in s.comp.loop_vars:
+                    if ext % 8:
+                        out = rules.rule5_program(prog, s.name, v.name, 8)
+                        if out is not None:
+                            yield ("rule5_range_relax", out)
+            if 9 in on:
+                for v, ext in s.comp.sum_vars:
+                    if ext % 8:
+                        out = rules.rule9_program(prog, s.name, v.name, 8)
+                        if out is not None:
+                            yield ("rule9_range_magnify", out)
 
     # -- goal ---------------------------------------------------------------
     @staticmethod
@@ -95,6 +165,13 @@ class Derivator:
         frontier = [program]
         visited = {program.hash()}
         results: list[Candidate] = []
+        # a single-stage candidate re-matching the input's own routine kind
+        # (e.g. a range-relaxed conv still matching Conv) is not a
+        # derivation — exclude it so real substitutions rank
+        base_kind = None
+        if len(program.stages) == 1:
+            base = match_routine(program.stages[0].comp)
+            base_kind = base["kind"] if base else None
         for depth in range(self.max_depth):
             nxt: list[Program] = []
             for prog in frontier:
@@ -107,16 +184,44 @@ class Derivator:
                     self.intermediate_states.append(out)
                     cand = self.classify(out.clone())
                     if cand is not None:
-                        cand.depth = depth + 1
-                        if not self.verify or self._equivalent(program,
-                                                               cand.program):
+                        # trivial = the only routine stage re-matches the
+                        # input's own kind (range-relaxed conv + restore
+                        # slice, etc.) — no algorithm substitution
+                        kinds = [s.routine.get("kind")
+                                 for s in cand.program.stages if s.routine]
+                        trivial = (base_kind is not None
+                                   and kinds == [base_kind])
+                        if not trivial:
+                            cand.depth = depth + 1
                             results.append(cand)
                     nxt.append(out)
             frontier = nxt
             if not frontier:
                 break
         results.sort(key=Candidate.score)
-        return results
+        if not self.verify:
+            return results
+        # verify lazily, best-first: the oracle evaluates real arrays (one
+        # XLA program per candidate), so bound it to the candidates anyone
+        # will consume (reference checks equivalence on demand too)
+        verified: list[Candidate] = []
+        for cand in results:
+            if len(verified) >= self.max_verified:
+                break
+            if self._equivalent(program, cand.program):
+                verified.append(cand)
+
+        def has_dlt(c):
+            return any(s.routine and s.routine.get("kind") == "MatMulDLT"
+                       for s in c.program.stages)
+        if not any(has_dlt(c) for c in verified):
+            # always surface the best algorithm-substitution candidate —
+            # its membound gather makes it score behind cheap rewrites
+            extra = next((c for c in results
+                          if has_dlt(c) and c not in verified), None)
+            if extra is not None and self._equivalent(program, extra.program):
+                verified.append(extra)
+        return verified
 
     # -- oracle -------------------------------------------------------------
     def _equivalent(self, a: Program, b: Program) -> bool:

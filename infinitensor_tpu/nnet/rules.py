@@ -36,8 +36,27 @@ from infinitensor_tpu.nnet.expr import (
     fresh_var,
 )
 from infinitensor_tpu.nnet.visitors import (
-    collect_vars, comp_hash, simplify, simplify_comp, substitute, transform,
+    collect_vars, comp_hash, serialize_expr, simplify, simplify_comp,
+    substitute, transform,
 )
+
+
+def collect_accesses(e: Expr) -> list:
+    out: list = []
+
+    def fn(node):
+        if isinstance(node, Access):
+            out.append(node)
+        return None
+    transform(e, fn)
+    return out
+
+
+def _same_access(a: Access, b: Access) -> bool:
+    """Structural equality (Expr nodes compare by identity; transform
+    rebuilds composite indices, so identity comparison misses them)."""
+    return a.tensor is b.tensor and \
+        serialize_expr(a) == serialize_expr(b)
 
 
 @dataclasses.dataclass
@@ -201,8 +220,7 @@ def rule3_stage_split(program: Program, stage_name: str, access: Access
 
     def fn(node):
         if node is access or (isinstance(node, Access)
-                              and node.tensor is access.tensor
-                              and node.indices == access.indices):
+                              and _same_access(node, access)):
             return replacement
         return None
     stage.comp = Comprehension(list(comp.loop_vars), list(comp.sum_vars),
@@ -343,6 +361,121 @@ def rule91_merge_stage_with_sum(program: Program, producer_name: str
         simplify(transform(consumer.comp.body, fn)))
     prog.stages.remove(producer)
     return prog
+
+
+# ---------------------------------------------------------------------------
+# Program-level wrappers for rules 1/2/5/9 — the Derivator's search moves.
+# Shape-changing transforms pair with a layout-restore stage so the program
+# output is invariant (the reference tracks this via nested RangeOps).
+# ---------------------------------------------------------------------------
+
+def _swap_stage_comp(program: Program, stage_name: str,
+                     new_comp: Comprehension) -> Program:
+    prog = program.clone()
+    prog.stage(stage_name).comp = new_comp
+    return prog
+
+
+def _pad_accesses_for(comp: Comprehension, var_name: str, pad: int
+                      ) -> Comprehension:
+    """Bump tensor paddings (zero-read contract, see evaluator.py) on every
+    dim whose index expression involves ``var_name`` — the soundness side
+    of range relaxation/magnification (reference RangeOp paddings)."""
+    def fn(node):
+        if isinstance(node, Access):
+            dims = [d for d, i in enumerate(node.indices)
+                    if any(v.name == var_name for v in collect_vars(i))]
+            if dims:
+                pads = list(node.tensor.paddings
+                            or (0,) * len(node.tensor.shape))
+                pads += [0] * (len(node.tensor.shape) - len(pads))
+                for d in dims:
+                    pads[d] += pad
+                ref = TensorRef(node.tensor.name, node.tensor.shape,
+                                tuple(pads))
+                return Access(ref, node.indices)
+        return None
+    return Comprehension(list(comp.loop_vars), list(comp.sum_vars),
+                         transform(comp.body, fn))
+
+
+def rule1_program(program: Program, stage_name: str, var_name: str,
+                  factor: int) -> Optional[Program]:
+    """Sum-var split in place (shape-preserving)."""
+    st = program.stage(stage_name)
+    out = rule1_sum_var_split(st.comp, var_name, factor)
+    return None if out is None else \
+        _swap_stage_comp(program, stage_name, out)
+
+
+def rule1_loop_program(program: Program, stage_name: str, var_name: str,
+                       factor: int) -> Optional[Program]:
+    """Loop-var split + layout-restore stage (output shape preserved)."""
+    prog = program.clone()
+    st = prog.stage(stage_name)
+    new_comp = rule1_loop_var_split(st.comp, var_name, factor)
+    if new_comp is None:
+        return None
+    fresh_name = _fresh_stage_name(st.name + "_ls")
+    restore_vars = [(fresh_var(v.name), e) for v, e in st.comp.loop_vars]
+    indices: list = []
+    for (v, _), (nv, _) in zip(st.comp.loop_vars, restore_vars):
+        if v.name == var_name:
+            indices.extend([nv // factor, nv % factor])
+        else:
+            indices.append(nv)
+    ref = TensorRef(fresh_name, new_comp.shape)
+    restore = Comprehension(
+        restore_vars, [],
+        Access(ref, tuple(simplify(i) for i in indices)))
+    idx = prog.stages.index(st)
+    prog.stages[idx:idx + 1] = [Stage(fresh_name, new_comp),
+                                Stage(st.name, restore)]
+    return prog
+
+
+def rule2_program(program: Program, stage_name: str, v1_name: str,
+                  v2_name: str) -> Optional[Program]:
+    """Adjacent sum-var merge in place (shape-preserving)."""
+    st = program.stage(stage_name)
+    out = rule2_var_merge(st.comp, v1_name, v2_name, kind="sum")
+    return None if out is None else \
+        _swap_stage_comp(program, stage_name, out)
+
+
+def rule5_program(program: Program, stage_name: str, var_name: str,
+                  multiple: int) -> Optional[Program]:
+    """Loop-range relax + restore slice: the relaxed rows compute on
+    zero-padded reads and are never read back."""
+    prog = program.clone()
+    st = prog.stage(stage_name)
+    got = rule5_range_relax(st.comp, var_name, multiple)
+    if got is None:
+        return None
+    new_comp, pad = got
+    new_comp = _pad_accesses_for(new_comp, var_name, pad)
+    fresh_name = _fresh_stage_name(st.name + "_rx")
+    restore_vars = [(fresh_var(v.name), e) for v, e in st.comp.loop_vars]
+    ref = TensorRef(fresh_name, new_comp.shape)
+    restore = Comprehension(restore_vars, [],
+                            Access(ref, tuple(v for v, _ in restore_vars)))
+    idx = prog.stages.index(st)
+    prog.stages[idx:idx + 1] = [Stage(fresh_name, new_comp),
+                                Stage(st.name, restore)]
+    return prog
+
+
+def rule9_program(program: Program, stage_name: str, var_name: str,
+                  multiple: int) -> Optional[Program]:
+    """Sum-range magnify in place: extra iterations read zero-padded
+    tensors, so the value is unchanged (reference Rule9RangeMagnify)."""
+    st = program.stage(stage_name)
+    got = rule9_sum_range_magnify(st.comp, var_name, multiple)
+    if got is None:
+        return None
+    new_comp, pad = got
+    return _swap_stage_comp(program, stage_name,
+                            _pad_accesses_for(new_comp, var_name, pad))
 
 
 # ---------------------------------------------------------------------------
@@ -498,8 +631,10 @@ def _plain_two_var_access(acc: Access):
 
 
 def match_routine(comp: Comprehension) -> Optional[dict]:
-    """Rule-6 kernel matching: recognize matmul, conv, and G2BMM forms
-    (reference IteratorTable matching, include/nnet/iterator_table.h)."""
+    """Rule-6 kernel matching: recognize matmul, conv, and G2BMM forms,
+    then fall back to the iterator-table matcher which handles PERMUTED /
+    flattened access orders (reference IteratorTable matching,
+    include/nnet/iterator_table.h + MatchTableVisitor)."""
     from infinitensor_tpu.nnet.derivation import match_matmul
     m = match_matmul(comp)
     if m is not None:
@@ -509,6 +644,10 @@ def match_routine(comp: Comprehension) -> Optional[dict]:
     if m is not None:
         return m
     m = match_g2bmm(comp)
+    if m is not None:
+        return m
+    from infinitensor_tpu.nnet.iterator_table import match_matmul_table
+    m = match_matmul_table(comp)
     if m is not None:
         return m
     return None

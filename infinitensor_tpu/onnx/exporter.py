@@ -22,6 +22,11 @@ CUSTOM_DOMAIN_OPS = {
     "AllReduceMin", "AllReduceMax", "AllReduceAvg", "AllGather", "Broadcast",
     "Send", "Recv", "G2BMM", "GBMM", "MemBound", "ReduceScatterSum",
     "AllToAll",
+    # internal ops with no ONNX-standard spelling: exported with attrs
+    # verbatim, re-imported by the generic custom importer
+    "Extend", "Im2colMatmulConv", "SkipRMSNorm", "ReluBackward",
+    "SigmoidBackward", "TanhBackward", "FloorDiv", "FloorMod",
+    "SquaredDifference", "Rsqrt", "Square", "Hardtanh",
 }
 
 

@@ -135,6 +135,8 @@ def _try_constant_fold(ctx: ImportContext, node) -> bool:
     op = node.op_type
     attrs = node.attrs()
     ins = node.input
+    if not ins and op != "Constant":
+        return False      # attr-only form (e.g. exported Range): real op
 
     def all_const():
         return all((not i) or i in ctx.consts for i in ins)
@@ -539,6 +541,8 @@ def _imp_resize(ctx, node, attrs):
     elif len(node.input) > 1 and node.input[1] and node.op_type == "Upsample":
         scales = np.asarray(ctx.const(node.input[1], "Upsample"), np.float64)
         sizes = [int(math.floor(d * s)) for d, s in zip(x.shape, scales)]
+    if sizes is None and "out_shape" in attrs:
+        sizes = [int(s) for s in attrs["out_shape"]]   # our own export form
     if sizes is None:
         raise ValueError("Resize requires constant scales or sizes")
     mode = attrs.get("mode", "nearest")
@@ -820,6 +824,148 @@ def _imp_random_like(ctx, node, attrs):
             a[k] = float(attrs[k])
     ctx.put(node.output[0],
             ctx.h._add(node.op_type, [ctx.get(node.input[0])], a))
+
+
+@register_import("PRelu")
+def _imp_prelu(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("PRelu",
+                       [ctx.get(node.input[0]), ctx.get(node.input[1])], {}))
+
+
+@register_import("BitwiseAnd", "BitwiseOr", "BitwiseXor")
+def _imp_bitwise_bin(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add(node.op_type,
+                       [ctx.get(node.input[0]), ctx.get(node.input[1])], {}))
+
+
+@register_import("BitwiseNot", "Det")
+def _imp_plain_unary(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add(node.op_type, [ctx.get(node.input[0])], {}))
+
+
+@register_import("CastLike")
+def _imp_cast_like(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("CastLike",
+                       [ctx.get(node.input[0]), ctx.get(node.input[1])], {}))
+
+
+@register_import("ConstantOfShape")
+def _imp_constant_of_shape(ctx, node, attrs):
+    if node.input and node.input[0]:
+        shape = [int(d) for d in ctx.const(node.input[0], "shape")]
+    else:
+        shape = [int(d) for d in attrs["shape"]]
+    a = {"shape": shape}
+    val = attrs.get("value")
+    if val is not None:
+        arr = val.to_numpy() if hasattr(val, "to_numpy") else np.asarray(val)
+        a["value"] = arr.reshape(-1)[0].item()
+        a["dtype"] = int(getattr(val, "data_type", 0)) or None
+        if a["dtype"] is None:
+            del a["dtype"]
+    if "dtype" in attrs:
+        a["dtype"] = int(attrs["dtype"])
+    ctx.put(node.output[0], ctx.h._add("ConstantOfShape", [], a))
+
+
+@register_import("CumSum")
+def _imp_cumsum(ctx, node, attrs):
+    a = {"exclusive": int(attrs.get("exclusive", 0)),
+         "reverse": int(attrs.get("reverse", 0))}
+    if len(node.input) > 1 and node.input[1]:
+        a["axis"] = int(ctx.const(node.input[1], "axis").reshape(-1)[0])
+    else:
+        a["axis"] = int(attrs.get("axis", 0))
+    ctx.put(node.output[0],
+            ctx.h._add("CumSum", [ctx.get(node.input[0])], a))
+
+
+@register_import("OneHot")
+def _imp_onehot(ctx, node, attrs):
+    a = {"axis": int(attrs.get("axis", -1))}
+    if len(node.input) >= 3:
+        a["depth"] = int(ctx.const(node.input[1], "depth").reshape(-1)[0])
+        vals = ctx.const(node.input[2], "values").reshape(-1)
+        a["off_value"], a["on_value"] = float(vals[0]), float(vals[1])
+    else:
+        a["depth"] = int(attrs["depth"])
+        for k in ("off_value", "on_value"):
+            if k in attrs:
+                a[k] = float(attrs[k])
+    ctx.put(node.output[0],
+            ctx.h._add("OneHot", [ctx.get(node.input[0])], a))
+
+
+@register_import("Range")
+def _imp_range(ctx, node, attrs):
+    if len(node.input) >= 3:
+        start = ctx.const(node.input[0], "start").reshape(-1)[0]
+        limit = ctx.const(node.input[1], "limit").reshape(-1)[0]
+        delta = ctx.const(node.input[2], "delta").reshape(-1)[0]
+        a = {"start": start.item(), "limit": limit.item(),
+             "delta": delta.item(),
+             "dtype": DataType.from_numpy(start.dtype).onnx_id}
+    else:
+        a = {k: attrs[k] for k in ("start", "limit", "delta") if k in attrs}
+        if "dtype" in attrs:
+            a["dtype"] = int(attrs["dtype"])
+    import math
+    a["length"] = int(attrs.get("length",
+                                max(0, math.ceil((a["limit"] - a["start"])
+                                                 / a["delta"]))))
+    ctx.put(node.output[0], ctx.h._add("Range", [], a))
+
+
+@register_import("ScatterElements")
+def _imp_scatter_elements(ctx, node, attrs):
+    ctx.put(node.output[0],
+            ctx.h._add("ScatterElements",
+                       [ctx.get(i) for i in node.input[:3]],
+                       {"axis": int(attrs.get("axis", 0))}))
+
+
+@register_import("TopK")
+def _imp_topk(ctx, node, attrs):
+    a = {"axis": int(attrs.get("axis", -1)),
+         "largest": int(attrs.get("largest", 1))}
+    if len(node.input) > 1 and node.input[1]:
+        a["k"] = int(ctx.const(node.input[1], "k").reshape(-1)[0])
+    else:
+        a["k"] = int(attrs["k"])
+    outs = ctx.h._add("TopK", [ctx.get(node.input[0])], a)
+    for name, t in zip(node.output, outs):
+        ctx.put(name, t)
+
+
+@register_import("Trilu")
+def _imp_trilu(ctx, node, attrs):
+    a = {"upper": int(attrs.get("upper", 1))}
+    if len(node.input) > 1 and node.input[1]:
+        a["k"] = int(ctx.const(node.input[1], "k").reshape(-1)[0])
+    elif "k" in attrs:
+        a["k"] = int(attrs["k"])
+    ctx.put(node.output[0],
+            ctx.h._add("Trilu", [ctx.get(node.input[0])], a))
+
+
+@register_import("Extend", "G2BMM", "GBMM", "Im2colMatmulConv",
+                 "SkipRMSNorm", "ReluBackward", "SigmoidBackward",
+                 "TanhBackward", "FloorDiv", "FloorMod",
+                 "SquaredDifference", "Rsqrt", "Square", "Hardtanh",
+                 "AllToAll", "ReduceScatterSum")
+def _imp_custom_generic(ctx, node, attrs):
+    """Custom-domain round-trip: internal ops export attrs verbatim
+    (exporter.py CUSTOM_DOMAIN_OPS), so a generic rebuild suffices."""
+    outs = ctx.h._add(node.op_type,
+                      [ctx.get(i) for i in node.input], dict(attrs))
+    if not isinstance(outs, list):
+        outs = [outs]
+    for name, t in zip(node.output, outs):
+        ctx.put(name, t)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,88 @@
+"""Worker for the two-process distributed bootstrap test
+(tests/test_multiprocess.py). Each process: Runtime.init_comm (the
+reference's NCCL id-file rendezvous analog, nccl_communicator.h:27-51)
+-> dp-sharded decode step over a 2-process CPU mesh -> compare the local
+logits shard against a locally computed unsharded reference.
+
+Usage: python tests/mp_worker.py <rank> <port>
+"""
+
+import os
+import sys
+
+rank = int(sys.argv[1])
+port = sys.argv[2]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax._src.xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+from infinitensor_tpu.runtime.runtime import cpu_runtime  # noqa: E402
+from infinitensor_tpu.models.llama import (  # noqa: E402
+    LlamaConfig, init_kv_cache, init_llama_params, llama_decode_step)
+
+
+def main():
+    rt = cpu_runtime()
+    rt.init_comm("mp-test", world_size=2, rank=rank,
+                 coordinator=f"localhost:{port}")
+    assert jax.process_count() == 2, jax.process_count()
+    assert rt.world_size == 2 and rt.rank == rank
+
+    cfg = LlamaConfig(vocab_size=64, dim=32, n_layers=2, n_heads=4,
+                      n_kv_heads=2, intermediate=64, max_seq=16)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.asarray(devs), ("dp",))
+    repl = NamedSharding(mesh, P())
+
+    # replicate params; shard batch over dp (each process owns 1 row)
+    params = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        params)
+    token_all = np.asarray([5, 7], np.int32)
+    pos_all = np.asarray([0, 0], np.int32)
+
+    def dp_global(local, spec, global_shape):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), local, global_shape)
+
+    cache_local = init_kv_cache(cfg, 1)
+    cache = jax.tree_util.tree_map(
+        lambda x: dp_global(np.asarray(x), P("dp", *([None] * (x.ndim - 1))),
+                            (2,) + tuple(x.shape[1:])), cache_local)
+    token = dp_global(token_all[rank:rank + 1], P("dp"), (2,))
+    pos = dp_global(pos_all[rank:rank + 1], P("dp"), (2,))
+
+    step = jax.jit(lambda p, t, ps, c: llama_decode_step(p, cfg, t, ps, c))
+    logits, _ = step(params, token, pos, cache)
+
+    mine = np.asarray(logits.addressable_shards[0].data)  # [1, vocab]
+
+    # unsharded local reference over the full batch
+    ref_params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    ref_logits, _ = jax.jit(
+        lambda p, t, ps, c: llama_decode_step(p, cfg, t, ps, c))(
+        ref_params, jnp.asarray(token_all), jnp.asarray(pos_all),
+        init_kv_cache(cfg, 2))
+    want = np.asarray(ref_logits)[rank:rank + 1]
+    np.testing.assert_allclose(mine, want, rtol=1e-4, atol=1e-4)
+    print(f"MP_OK rank={rank}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
