@@ -107,9 +107,103 @@ class MemoryPlanner:
         return self._lib.planner_free_block_count(self._id)
 
 
-def plan_graph_memory(graph) -> dict:
+def _liveness(graph):
+    """Per-activation live interval [def_step, last_use_step] over the
+    topo order (inputs/outputs/weights live forever)."""
+    from infinitensor_tpu.core.tensor import TensorRole
+
+    n_ops = len(graph.operators)
+    live = {}
+    for step, op in enumerate(graph.operators):
+        for t in op.outputs:
+            if t.role == TensorRole.OTHERS:
+                live.setdefault(t.guid, [step, step])
+        for t in op.present_inputs():
+            if t.guid in live:
+                live[t.guid][1] = step
+    from infinitensor_tpu.core.tensor import TensorRole as TR
+    for t in graph.tensors:
+        if t.role == TR.OTHERS and t.guid in live and not t.targets:
+            live[t.guid][1] = n_ops  # produced-but-unconsumed: pin to end
+    return live
+
+
+def validate_memory_plan(graph, plan: dict) -> list:
+    """Reference validateMemory analog (graph.cc:605-622): two activations
+    whose live intervals overlap must not share bytes. Returns a list of
+    violation strings (empty = plan is sound)."""
+    from infinitensor_tpu.core.tensor import TensorRole
+
+    live = _liveness(graph)
+    acts = [t for t in graph.tensors
+            if t.role == TensorRole.OTHERS and t.name in plan["offsets"]
+            and t.guid in live]
+    issues = []
+    for i, a in enumerate(acts):
+        ao, ab = plan["offsets"][a.name], a.bytes()
+        for b in acts[i + 1:]:
+            la, lb = live[a.guid], live[b.guid]
+            if la[0] <= lb[1] and lb[0] <= la[1]:       # intervals overlap
+                bo, bb = plan["offsets"][b.name], b.bytes()
+                if ao < bo + bb and bo < ao + ab:       # bytes overlap
+                    issues.append(
+                        f"{a.name}[{ao},{ao + ab}) overlaps "
+                        f"{b.name}[{bo},{bo + bb}) while both live "
+                        f"(steps {la} vs {lb})")
+    return issues
+
+
+def _plan_naive(graph) -> dict:
+    """Debug allocator: every activation gets its own region, no reuse
+    (reference naive-allocator mode, graph.cc:371-380) — planted bugs in
+    reuse logic disappear under this mode, which is how you bisect them."""
+    from infinitensor_tpu.core.tensor import TensorRole
+
+    offsets, cursor, weight_bytes = {}, 0, 0
+    align = 256
+    for t in graph.tensors:
+        if t.role == TensorRole.WEIGHT:
+            weight_bytes += t.bytes()
+        elif t.role == TensorRole.OTHERS and t.source is not None:
+            offsets[t.name] = cursor
+            cursor += -(-t.bytes() // align) * align
+    return {"offsets": offsets, "peak_bytes": cursor,
+            "arena_bytes": cursor, "weight_bytes": weight_bytes,
+            "naive": True}
+
+
+def plan_graph_memory(graph, naive: Optional[bool] = None,
+                      validate: Optional[bool] = None) -> dict:
     """Plan activation memory for a Graph; returns offsets + stats
-    (engine-level peak-memory report, reference LazyAllocator::info)."""
+    (engine-level peak-memory report, reference LazyAllocator::info).
+    ``naive`` disables reuse (debug mode); ``validate`` cross-checks the
+    plan against liveness. Both default from utils/config.py."""
+    from infinitensor_tpu.core.tensor import TensorRole
+    from infinitensor_tpu.utils.config import config
+
+    if naive is None:
+        naive = config.naive_allocator
+    if validate is None:
+        validate = config.validate_memory
+
+    graph.require_sorted()
+    if naive:
+        plan = _plan_naive(graph)
+        issues = validate_memory_plan(graph, plan) if validate else []
+        if issues:
+            raise RuntimeError("naive plan overlap (impossible): "
+                               + "; ".join(issues))
+        return plan
+    plan = _plan_native(graph)
+    if validate:
+        issues = validate_memory_plan(graph, plan)
+        if issues:
+            raise RuntimeError("memory plan violates liveness: "
+                               + "; ".join(issues[:5]))
+    return plan
+
+
+def _plan_native(graph) -> dict:
     from infinitensor_tpu.core.tensor import TensorRole
 
     graph.require_sorted()

@@ -23,8 +23,11 @@ from infinitensor_tpu.core.operator import Operator
 from infinitensor_tpu.core.tensor import TensorObj, TensorRole
 from infinitensor_tpu.optimizer.mutator import Mutator, RuleBasedMutator
 from infinitensor_tpu.runtime.perf import PerfEngine
+from infinitensor_tpu.utils.logging import get_logger
 
 BEAM_SIZE = 16   # reference GRAPH_SIZE
+
+_log = get_logger("search")
 
 
 class SearchEngine:
@@ -43,12 +46,18 @@ class SearchEngine:
         graph.require_sorted()
         from infinitensor_tpu.optimizer.merge import search_merge
         variants = [graph] + search_merge(graph)
+        _log.info("search_start", ops=len(graph.operators),
+                  merge_variants=len(variants) - 1)
         best, best_cost = None, float("inf")
-        for variant in variants:
+        for i, variant in enumerate(variants):
             out = self._run_partitions(variant)
             cost = self._score(out)
+            _log.info("variant_scored", variant=i, cost_ms=round(cost, 4),
+                      ops=len(out.operators))
             if cost < best_cost:
                 best, best_cost = out, cost
+        _log.info("search_done", best_cost_ms=round(best_cost, 4),
+                  ops=len(best.operators))
         return best
 
     def _run_partitions(self, graph: Graph) -> Graph:

@@ -46,7 +46,7 @@ def _to_jax(t: TensorObj):
 class GraphExecutor:
     def __init__(self, graph: Graph, ctx: Optional[LowerCtx] = None,
                  device=None, donate_state: bool = True,
-                 cache_capacity: int = 16):
+                 cache_capacity: Optional[int] = None):
         graph.require_sorted()
         self.graph = graph
         self.ctx = ctx or LowerCtx(use_pallas=is_tpu())
@@ -56,6 +56,9 @@ class GraphExecutor:
         # capture cache (include/cuda/cuda_runtime.h:66-128, capacity 16):
         # a long-running server cycling many shape signatures must not
         # accumulate executables without bound.
+        if cache_capacity is None:
+            from infinitensor_tpu.utils.config import config
+            cache_capacity = config.executable_cache_capacity
         self.cache_capacity = max(1, int(cache_capacity))
         self._inputs = graph.inputs()
         self._outputs = graph.outputs()

@@ -29,6 +29,9 @@ from infinitensor_tpu.models.llama import (
     init_kv_cache, llama_decode_step, llama_prefill,
 )
 from infinitensor_tpu.serving.kvcache import merge_prefill_into_slot
+from infinitensor_tpu.utils.logging import get_logger
+
+_log = get_logger("serving")
 
 
 def _place_on_mesh(params, cache, cfg, mesh, param_specs=None,
@@ -213,11 +216,15 @@ class ServingEngine:
             self.pos[slot] = S
             self.last_token[slot] = first
             self.tokens_out += 1
+            _log.info("admit", uid=req.uid, slot=slot, prompt_len=S,
+                      bucket=bucket)
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
         req.done = True
         self.slots[slot] = None
+        _log.info("retire", uid=req.uid, slot=slot,
+                  generated=len(req.generated), pos=int(self.pos[slot]))
         self.pos[slot] = 0
 
     # ------------------------------------------------------------------

@@ -30,13 +30,14 @@ def is_tpu() -> bool:
 
 def pallas_interpret() -> bool:
     """True when Pallas kernel bodies should run under the Pallas
-    interpreter (CPU CI): set INFINITPU_PALLAS_INTERPRET=1. Checked at call
-    time (not cached) so a test fixture can toggle it. Every kernel also
-    takes an explicit ``interpret=True`` kwarg — the analog of the
-    reference's kernel-vs-oracle tests running without a GPU."""
-    import os
+    interpreter (CPU CI): set INFINITPU_PALLAS_INTERPRET=1 (or
+    config.set(pallas_interpret=True)). Checked at call time (not cached)
+    so a test fixture can toggle it. Every kernel also takes an explicit
+    ``interpret=True`` kwarg — the analog of the reference's
+    kernel-vs-oracle tests running without a GPU."""
+    from infinitensor_tpu.utils.config import config
 
-    return bool(os.environ.get("INFINITPU_PALLAS_INTERPRET"))
+    return bool(config.pallas_interpret)
 
 
 def use_pallas(interpret: bool = False) -> bool:
