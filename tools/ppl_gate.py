@@ -16,6 +16,7 @@ Usage: python tools/ppl_gate.py            (small config, CPU-friendly)
        PPL_DIM=4096 PPL_LAYERS=32 ...      (override geometry)
 Prints one JSON line with ppl_fp32 / ppl_int8 / ppl_int4 and gate booleans.
 """
+import functools
 import json
 import os
 import sys
@@ -62,6 +63,75 @@ def perplexity(params, cfg, tokens, dtype):
     return float(jnp.exp(jnp.mean(nll)))
 
 
+def _nll_from_logits(logits, tokens):
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return float(jnp.exp(jnp.mean(nll)))
+
+
+def perplexity_streaming(params_host, cfg, tokens, bits=None, group=128):
+    """Layer-streaming teacher-forced perplexity: weights live on the HOST
+    and visit the chip one layer at a time, so 7B-geometry fp/bf16 params
+    (28/13.5 GB) evaluate on a 16 GB chip. When ``bits`` is set, each layer
+    is weight-only-quantized on device before its block runs — the Pallas
+    dequant kernels execute exactly as in serving (fused wqkv/w_gateup).
+    Peak device memory ~= 2 layers + activations."""
+    import numpy as np
+    from infinitensor_tpu.models.llama import (
+        _block_prefill, _linear, rmsnorm)
+    from infinitensor_tpu.quant.weight_only import (
+        concat_qlinear, quantize_weight)
+
+    B, L = tokens.shape
+    tokens = jnp.asarray(tokens)
+
+    def prep_layer(layer_host):
+        dev = {k: jnp.asarray(np.asarray(v)) for k, v in layer_host.items()}
+        if bits is None:
+            return dev
+        qk = {k: quantize_weight(v, bits, group) for k, v in dev.items()
+              if k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")}
+        out = {k: v for k, v in dev.items() if k not in qk}
+        if "wq" in qk:
+            out["wqkv"] = concat_qlinear(qk["wq"], qk["wk"], qk["wv"])
+            out["w_gateup"] = concat_qlinear(qk["w_gate"], qk["w_up"])
+            out["wo"], out["w_down"] = qk["wo"], qk["w_down"]
+        else:
+            out.update(qk)
+        return out
+
+    embed = jnp.asarray(np.asarray(params_host["embed"]))
+    x = jnp.take(embed, tokens, axis=0)
+    del embed
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def block(cfg_, layer, x, pos):
+        S = x.shape[1]
+        ck = jnp.zeros((x.shape[0], cfg_.n_kv_heads, S, cfg_.head_dim),
+                       x.dtype)
+        cv = jnp.zeros_like(ck)
+        y, *_ = _block_prefill(cfg_, layer, x, pos, ck, cv, 0)
+        return y
+
+    for layer_host in params_host["layers"]:
+        layer = prep_layer(layer_host)
+        x = block(cfg, layer, x, pos)
+        x = jax.block_until_ready(x)
+        del layer                      # free before the next transfer
+
+    final_norm = jnp.asarray(np.asarray(params_host["final_norm"]))
+    lm_host = params_host["lm_head"]
+    lm = jnp.asarray(np.asarray(lm_host))
+    if bits is not None:
+        lm = quantize_weight(lm, bits, group)
+    x = rmsnorm(x, final_norm, cfg.norm_eps)
+    logits = _linear(x, lm)
+    out = _nll_from_logits(logits, tokens)
+    return out
+
+
 def main():
     cfg = LlamaConfig(
         vocab_size=int(os.environ.get("PPL_VOCAB", "512")),
@@ -77,15 +147,36 @@ def main():
 
     key = jax.random.PRNGKey(int(os.environ.get("PPL_SEED", "0")))
     kp, ks = jax.random.split(key)
-    params = init_llama_params(cfg, kp, dtype=jnp.float32)
-    tokens = jax.jit(sample_text, static_argnums=(1, 3, 4))(
-        params, cfg, ks, batch, length)
-    tokens = jax.block_until_ready(tokens)
+    stream = bool(os.environ.get("PPL_STREAM"))
 
-    ppl = {"fp32": perplexity(params, cfg, tokens, jnp.float32)}
-    for bits, group in ((8, 128), (4, 64)):
-        qp = quantize_llama_params(params, bits=bits, group_size=group)
-        ppl[f"int{bits}"] = perplexity(qp, cfg, tokens, jnp.float32)
+    if stream:
+        # 7B-geometry mode: bf16 params fill most of a 16 GB chip during
+        # sampling; evaluation then streams layers host->device so the
+        # fp baseline and both quantized variants never coexist on-chip.
+        import numpy as np
+        params = init_llama_params(cfg, kp, dtype=jnp.bfloat16)
+        params = jax.block_until_ready(params)
+        tokens = jax.jit(sample_text, static_argnums=(1, 3, 4))(
+            params, cfg, ks, batch, length)
+        tokens = np.asarray(jax.block_until_ready(tokens))
+        params_host = jax.tree_util.tree_map(np.asarray, params)
+        del params                          # free device HBM
+
+        ppl = {"fp32": perplexity_streaming(params_host, cfg, tokens)}
+        ppl["int8"] = perplexity_streaming(params_host, cfg, tokens,
+                                           bits=8, group=128)
+        ppl["int4"] = perplexity_streaming(params_host, cfg, tokens,
+                                           bits=4, group=64)
+    else:
+        params = init_llama_params(cfg, kp, dtype=jnp.float32)
+        tokens = jax.jit(sample_text, static_argnums=(1, 3, 4))(
+            params, cfg, ks, batch, length)
+        tokens = jax.block_until_ready(tokens)
+
+        ppl = {"fp32": perplexity(params, cfg, tokens, jnp.float32)}
+        for bits, group in ((8, 128), (4, 64)):
+            qp = quantize_llama_params(params, bits=bits, group_size=group)
+            ppl[f"int{bits}"] = perplexity(qp, cfg, tokens, jnp.float32)
 
     # The BASELINE absolute thresholds (<=0.1 ppl at INT8, <=0.5 at INT4)
     # are stated for Llama-2-7B, whose wikitext-2 perplexity is ~5.5; as
@@ -105,6 +196,9 @@ def main():
         "gate_int8_rel_le_1.8pct": bool(rel8 <= 0.018),
         "gate_int4_rel_le_9.1pct": bool(rel4 <= 0.091),
         "tokens": int(tokens.size),
+        "geometry": {"dim": cfg.dim, "layers": cfg.n_layers,
+                     "vocab": cfg.vocab_size, "stream": stream,
+                     "baseline_dtype": "bf16" if stream else "fp32"},
     }
     print(json.dumps(out))
 
