@@ -99,7 +99,8 @@ class ServingEngine:
                  prefill_buckets: tuple = (32, 128, 512),
                  prefill_fn=None, decode_fn=None, init_cache_fn=None,
                  decode_chunk: int = 1, kv_quant: bool = False,
-                 mesh=None, param_specs=None, cache_specs=None):
+                 mesh=None, param_specs=None, cache_specs=None,
+                 spec_decode: int = 0, verify_fn=None, draft=None):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
@@ -157,6 +158,23 @@ class ServingEngine:
             return jnp.moveaxis(toks, 0, 1), tok, pp, cc
 
         self._decode_multi = jax.jit(_multi, donate_argnums=3)
+
+        # speculative continuous batching: one fused K-token verify per
+        # engine step (serving/speculative.py semantics, per slot); emitted
+        # tokens are defined by the verify logits, accepted prefix lengths
+        # vary per slot and per-slot `pos` absorbs the raggedness.
+        self.spec_decode = int(spec_decode)
+        if self.spec_decode >= 2:
+            from infinitensor_tpu.models.llama import llama_verify_step
+            from infinitensor_tpu.serving.speculative import (
+                PromptLookupDraft)
+            vf = verify_fn or llama_verify_step
+            self._draft = draft or PromptLookupDraft()
+            self._verify = jax.jit(
+                lambda p, toks, ps, c: (lambda lg, cc: (
+                    jnp.argmax(lg, axis=-1).astype(jnp.int32), cc))(
+                        *vf(p, cfg, toks, ps, c)),
+                donate_argnums=3)
         self.steps = 0
         self.tokens_out = 0
 
@@ -228,13 +246,53 @@ class ServingEngine:
         self.pos[slot] = 0
 
     # ------------------------------------------------------------------
+    def _spec_step(self, active) -> int:
+        """One fused K-token speculative verify over all live slots."""
+        K = self.spec_decode
+        inputs = np.zeros((self.B, K), np.int32)
+        for slot in active:
+            req = self.slots[slot]
+            hist = list(req.prompt) + list(req.generated)
+            inputs[slot, 0] = self.last_token[slot]
+            inputs[slot, 1:] = self._draft.propose(hist, K - 1)
+        greedy, self.cache = self._verify(
+            self.params, jnp.asarray(inputs), jnp.asarray(self.pos),
+            self.cache)
+        greedy = np.asarray(greedy, np.int32)
+        self.steps += 1
+        for slot in active:
+            req = self.slots[slot]
+            n_acc = 0
+            while n_acc < K - 1 and \
+                    inputs[slot, n_acc + 1] == greedy[slot, n_acc]:
+                n_acc += 1
+            for tok in greedy[slot, :n_acc + 1]:
+                req.generated.append(int(tok))
+                self.tokens_out += 1
+                if (req.eos_id is not None and int(tok) == req.eos_id) or \
+                        len(req.generated) >= req.max_new_tokens:
+                    break
+            self.pos[slot] += n_acc + 1
+            self.last_token[slot] = int(greedy[slot, n_acc])
+            done = (len(req.generated) >= req.max_new_tokens or
+                    (req.eos_id is not None and req.eos_id in req.generated)
+                    or self.pos[slot] + 2 * K >= self.cfg.max_seq)
+            if done:
+                self._retire(slot)
+        return len([r for r in self.slots if r is not None])
+
     def step(self) -> int:
         """Admit + one decode step (or one fused chunk of decode_chunk
-        steps). Returns number of live sequences."""
+        steps, or one speculative verify). Returns number of live
+        sequences."""
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return 0
+        if self.spec_decode >= 2 and \
+                int(self.pos[active].max()) + 2 * self.spec_decode < \
+                self.cfg.max_seq:
+            return self._spec_step(active)
         token = jnp.asarray(self.last_token)
         pos = jnp.asarray(self.pos)
         chunk = self.decode_chunk
