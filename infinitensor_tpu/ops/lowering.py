@@ -221,6 +221,21 @@ def _matmul_integer(op, ins, ctx):
     return jnp.matmul(a, b, preferred_element_type=jnp.int32)
 
 
+#: gathered band intermediate [b, m, 2w+1, k] larger than this switches to
+#: the shift-scan formulation (Longformer-scale bands blow HBM otherwise —
+#: the reference ships a dedicated band kernel, gbmm_g2bmm.cu; on TPU the
+#: scan keeps peak memory at one [b, m, k] buffer per step and XLA keeps
+#: the multiply-reduce on the VPU, which matches the op's low arithmetic
+#: intensity per output element)
+_BAND_GATHER_LIMIT = 1 << 24
+
+
+def _band_valid(m, off):
+    rows = jnp.arange(m)
+    tgt = rows + off
+    return (tgt >= 0) & (tgt < m)
+
+
 @register("G2BMM")
 def _g2bmm(op, ins, ctx):
     # Band QK^T (Longformer local attention, reference G2BMM.cc): for each row
@@ -230,13 +245,24 @@ def _g2bmm(op, ins, ctx):
     d = int(op.attrs.get("dilation", 1))
     bsz, m, k = a.shape
     offsets = jnp.arange(-w, w + 1) * d                     # [2w+1]
-    idx = jnp.arange(m)[:, None] + offsets[None, :]          # [m, 2w+1]
-    valid = (idx >= 0) & (idx < m)
-    idx_c = jnp.clip(idx, 0, m - 1)
-    bk = b[:, idx_c, :]                                      # [b, m, 2w+1, k]
-    out = jnp.einsum("bmk,bmnk->bmn", a, bk,
-                     preferred_element_type=jnp.float32).astype(a.dtype)
-    return jnp.where(valid[None], out, 0)
+    if bsz * m * (2 * w + 1) * k <= _BAND_GATHER_LIMIT:
+        idx = jnp.arange(m)[:, None] + offsets[None, :]      # [m, 2w+1]
+        valid = (idx >= 0) & (idx < m)
+        idx_c = jnp.clip(idx, 0, m - 1)
+        bk = b[:, idx_c, :]                                  # [b, m, 2w+1, k]
+        out = jnp.einsum("bmk,bmnk->bmn", a, bk,
+                         preferred_element_type=jnp.float32).astype(a.dtype)
+        return jnp.where(valid[None], out, 0)
+
+    af = a.astype(jnp.float32)
+
+    def body(_, off):
+        bs = jnp.roll(b, -off, axis=1).astype(jnp.float32)
+        col = jnp.sum(af * bs, axis=-1)                      # [b, m]
+        return None, jnp.where(_band_valid(m, off)[None], col, 0.0)
+
+    _, cols = lax.scan(body, None, offsets)                  # [2w+1, b, m]
+    return jnp.moveaxis(cols, 0, 2).astype(a.dtype)
 
 
 @register("GBMM")
@@ -248,13 +274,26 @@ def _gbmm(op, ins, ctx):
     d = int(op.attrs.get("dilation", 1))
     bsz, m, k = b.shape
     offsets = jnp.arange(-w, w + 1) * d
-    idx = jnp.arange(m)[:, None] + offsets[None, :]
-    valid = (idx >= 0) & (idx < m)
-    idx_c = jnp.clip(idx, 0, m - 1)
-    bv = b[:, idx_c, :]                                      # [b, m, 2w+1, k]
-    aw = jnp.where(valid[None], a, 0)
-    return jnp.einsum("bmn,bmnk->bmk", aw, bv,
-                      preferred_element_type=jnp.float32).astype(b.dtype)
+    if bsz * m * n * k <= _BAND_GATHER_LIMIT:
+        idx = jnp.arange(m)[:, None] + offsets[None, :]
+        valid = (idx >= 0) & (idx < m)
+        idx_c = jnp.clip(idx, 0, m - 1)
+        bv = b[:, idx_c, :]                                  # [b, m, 2w+1, k]
+        aw = jnp.where(valid[None], a, 0)
+        return jnp.einsum("bmn,bmnk->bmk", aw, bv,
+                          preferred_element_type=jnp.float32).astype(b.dtype)
+
+    def body(acc, j_off):
+        j, off = j_off
+        bs = jnp.roll(b, -off, axis=1).astype(jnp.float32)
+        aj = lax.dynamic_slice_in_dim(a, j, 1, axis=2)       # [b, m, 1]
+        contrib = aj.astype(jnp.float32) * bs                # [b, m, k]
+        contrib = jnp.where(_band_valid(m, off)[None, :, None], contrib, 0.0)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((bsz, m, k), jnp.float32)
+    acc, _ = lax.scan(body, acc0, (jnp.arange(n), offsets))
+    return acc.astype(b.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -328,6 +328,36 @@ def test_g2bmm_gbmm_vs_oracle(rng):
     np.testing.assert_allclose(out2, ref2, rtol=1e-4, atol=1e-5)
 
 
+def test_g2bmm_gbmm_scan_path_matches_gather(rng):
+    """Large-band shift-scan lowering (no [b,m,2w+1,k] materialization)
+    must equal the gather path (reference band kernel gbmm_g2bmm.cu)."""
+    import infinitensor_tpu.ops.lowering as L
+    from infinitensor_tpu.core.tensor import TensorRole
+
+    def run_both(limit):
+        old = L._BAND_GATHER_LIMIT
+        L._BAND_GATHER_LIMIT = limit
+        try:
+            h = GraphHandler()
+            a = h.input((2, 32, 8), name="a")
+            b = h.input((2, 32, 8), name="b")
+            g = h.g2bmm(a, b, width=2, dilation=2)
+            v = h.gbmm(g, b, dilation=2)
+            g.role = TensorRole.OUTPUT
+            v.role = TensorRole.OUTPUT
+            feeds = {"a": a_np, "b": b_np}
+            return h.run(feeds, return_numpy=True), g.name, v.name
+        finally:
+            L._BAND_GATHER_LIMIT = old
+
+    a_np = rng.standard_normal((2, 32, 8)).astype(np.float32)
+    b_np = rng.standard_normal((2, 32, 8)).astype(np.float32)
+    gather, gn, vn = run_both(1 << 24)
+    scan, gn2, vn2 = run_both(1)
+    np.testing.assert_allclose(scan[gn2], gather[gn], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(scan[vn2], gather[vn], rtol=1e-5, atol=1e-5)
+
+
 def test_conv_act_fusion(rng):
     h = GraphHandler()
     x = h.input((1, 3, 8, 8), name="x")
