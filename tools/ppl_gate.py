@@ -33,9 +33,10 @@ from infinitensor_tpu.models.llama import (
     llama_decode_step, quantize_llama_params)
 
 
-def sample_text(params, cfg, key, batch, length, temp=0.8):
+def sample_text(params, cfg, key, batch, length, temp=0.8,
+                cache_dtype=jnp.float32):
     """Ancestral-sample token sequences from the model itself."""
-    cache = init_kv_cache(cfg, batch, dtype=jnp.float32)
+    cache = init_kv_cache(cfg, batch, dtype=cache_dtype)
     k0, key = jax.random.split(key)
     tok = jax.random.randint(k0, (batch,), 0, cfg.vocab_size, jnp.int32)
     pos = jnp.zeros((batch,), jnp.int32)
@@ -132,6 +133,77 @@ def perplexity_streaming(params_host, cfg, tokens, bits=None, group=128):
     return out
 
 
+def perplexity_streaming_seeded(key, cfg, tokens, bits=None, group=128,
+                                dtype=jnp.bfloat16):
+    """7B-on-16GB without host round-trips: weights are synthetic, so each
+    layer REGENERATES on device from its split key (bit-identical to
+    init_llama_params(cfg, key, dtype)) right before its block runs —
+    generation + (optional) quantization fused into one launch per layer.
+    Peak device memory ~= 2 layers + activations; zero host transfers."""
+    import math
+
+    from infinitensor_tpu.models.llama import (
+        _block_prefill, _linear, rmsnorm)
+    from infinitensor_tpu.quant.weight_only import (
+        concat_qlinear, quantize_weight)
+
+    B, L = tokens.shape
+    tokens = jnp.asarray(tokens)
+    keys = jax.random.split(key, cfg.n_layers * 7 + 3)
+    kvd = cfg.n_kv_heads * cfg.head_dim
+
+    def dense(k, din, dout):
+        return (jax.random.normal(k, (din, dout), jnp.float32)
+                / math.sqrt(din)).astype(dtype)
+
+    @jax.jit
+    def gen_layer(ks):
+        layer = {
+            "attn_norm": jnp.ones((cfg.dim,), dtype),
+            "wq": dense(ks[0], cfg.dim, cfg.dim),
+            "wk": dense(ks[1], cfg.dim, kvd),
+            "wv": dense(ks[2], cfg.dim, kvd),
+            "wo": dense(ks[3], cfg.dim, cfg.dim),
+            "mlp_norm": jnp.ones((cfg.dim,), dtype),
+            "w_gate": dense(ks[4], cfg.dim, cfg.intermediate),
+            "w_up": dense(ks[5], cfg.dim, cfg.intermediate),
+            "w_down": dense(ks[6], cfg.intermediate, cfg.dim),
+        }
+        if bits is None:
+            return layer
+        qk = {k: quantize_weight(layer[k], bits, group)
+              for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")}
+        return {
+            "attn_norm": layer["attn_norm"], "mlp_norm": layer["mlp_norm"],
+            "wqkv": concat_qlinear(qk["wq"], qk["wk"], qk["wv"]),
+            "w_gateup": concat_qlinear(qk["w_gate"], qk["w_up"]),
+            "wo": qk["wo"], "w_down": qk["w_down"],
+        }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def block(cfg_, layer, x, pos):
+        S = x.shape[1]
+        ck = jnp.zeros((x.shape[0], cfg_.n_kv_heads, S, cfg_.head_dim),
+                       x.dtype)
+        cv = jnp.zeros_like(ck)
+        y, *_ = _block_prefill(cfg_, layer, x, pos, ck, cv, 0)
+        return y
+
+    embed = dense(keys[cfg.n_layers * 7], cfg.vocab_size, cfg.dim)
+    x = jnp.take(embed, tokens, axis=0)
+    del embed
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+    for i in range(cfg.n_layers):
+        layer = gen_layer(keys[i * 7:(i + 1) * 7])
+        x = jax.block_until_ready(block(cfg, layer, x, pos))
+        del layer
+    lm = dense(keys[cfg.n_layers * 7 + 1], cfg.dim, cfg.vocab_size)
+    if bits is not None:
+        lm = quantize_weight(lm, bits, group)
+    x = rmsnorm(x, jnp.ones((cfg.dim,), dtype), cfg.norm_eps)
+    return _nll_from_logits(_linear(x, lm), tokens)
+
+
 def main():
     cfg = LlamaConfig(
         vocab_size=int(os.environ.get("PPL_VOCAB", "512")),
@@ -151,22 +223,28 @@ def main():
 
     if stream:
         # 7B-geometry mode: bf16 params fill most of a 16 GB chip during
-        # sampling; evaluation then streams layers host->device so the
-        # fp baseline and both quantized variants never coexist on-chip.
+        # sampling, then evaluation REGENERATES each layer on device from
+        # its seed (weights are synthetic and deterministic), so the fp
+        # baseline and both quantized variants never coexist on-chip and
+        # no multi-GB host transfer ever happens.
         import numpy as np
         params = init_llama_params(cfg, kp, dtype=jnp.bfloat16)
         params = jax.block_until_ready(params)
-        tokens = jax.jit(sample_text, static_argnums=(1, 3, 4))(
+        print("# params ready, sampling...", file=sys.stderr, flush=True)
+        fn = functools.partial(sample_text, cache_dtype=jnp.bfloat16)
+        tokens = jax.jit(fn, static_argnums=(1, 3, 4))(
             params, cfg, ks, batch, length)
-        tokens = np.asarray(jax.block_until_ready(tokens))
-        params_host = jax.tree_util.tree_map(np.asarray, params)
+        tokens = np.asarray(tokens)
         del params                          # free device HBM
+        print("# sampled, evaluating...", file=sys.stderr, flush=True)
 
-        ppl = {"fp32": perplexity_streaming(params_host, cfg, tokens)}
-        ppl["int8"] = perplexity_streaming(params_host, cfg, tokens,
-                                           bits=8, group=128)
-        ppl["int4"] = perplexity_streaming(params_host, cfg, tokens,
-                                           bits=4, group=64)
+        ppl = {}
+        for name, bits, group in (("fp32", None, 0), ("int8", 8, 128),
+                                  ("int4", 4, 64)):
+            ppl[name] = perplexity_streaming_seeded(
+                kp, cfg, tokens, bits=bits, group=group)
+            print(f"# ppl[{name}] = {ppl[name]:.4f}", file=sys.stderr,
+                  flush=True)
     else:
         params = init_llama_params(cfg, kp, dtype=jnp.float32)
         tokens = jax.jit(sample_text, static_argnums=(1, 3, 4))(
