@@ -165,6 +165,10 @@ class ServingEngine:
         # vary per slot and per-slot `pos` absorbs the raggedness.
         self.spec_decode = int(spec_decode)
         if self.spec_decode >= 2:
+            if verify_fn is None and decode_fn is not llama_decode_step:
+                raise ValueError(
+                    "spec_decode needs a verify_fn for non-Llama model "
+                    "families (the default verify is llama_verify_step)")
             from infinitensor_tpu.models.llama import llama_verify_step
             from infinitensor_tpu.serving.speculative import (
                 PromptLookupDraft)

@@ -50,6 +50,17 @@ def test_spec_engine_amortizes_steps(params, rng):
     assert eng.steps < 4 * 16          # strictly fewer launches than greedy
 
 
+def test_spec_engine_rejects_foreign_family_without_verify(params):
+    from infinitensor_tpu.models.gpt2 import (
+        GPT2Config, gpt2_decode_step, gpt2_prefill, init_gpt2_cache)
+    gcfg = GPT2Config(vocab_size=128, dim=64, n_layers=1, n_heads=2,
+                      max_seq=64)
+    with pytest.raises(ValueError, match="verify_fn"):
+        ServingEngine(params, gcfg, max_slots=2, spec_decode=4,
+                      prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
+                      init_cache_fn=init_gpt2_cache)
+
+
 def test_spec_engine_int8_kv(params, rng):
     reqs = [(list(rng.integers(1, 128, 10)), 8) for _ in range(3)]
     eng = ServingEngine(params, CFG, max_slots=3, prefill_buckets=(16,),
