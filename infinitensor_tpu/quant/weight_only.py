@@ -58,9 +58,15 @@ class QuantizedLinear:
         return self.qweight.shape[-1]
 
 
-def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None
-                    ) -> QuantizedLinear:
-    """Symmetric per-group-per-channel quantization of [in, out] weight."""
+def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
+                    clip: str = "auto") -> QuantizedLinear:
+    """Symmetric per-group-per-channel quantization of [in, out] weight.
+
+    clip: "none" = absmax scales (plain RTN); "mse" = per-group clip-ratio
+    search minimizing round-trip MSE (a calibration-free accuracy win that
+    matters at 4 bits, where absmax outliers waste half the codebook);
+    "auto" = mse for int4, none for int8 (int8 RTN error is already tiny).
+    """
     w = jnp.asarray(w)
     din, dout = w.shape
     if group_size is None:
@@ -75,6 +81,20 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None
     qmax = 127.0 if bits == 8 else 7.0
     absmax = jnp.max(jnp.abs(wg), axis=1)                 # [ng, out]
     scales = jnp.maximum(absmax / qmax, 1e-8)
+    if clip == "mse" or (clip == "auto" and bits == 4):
+        best_err = None
+        best_scales = scales
+        for ratio in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7):
+            s = jnp.maximum(absmax * ratio / qmax, 1e-8)
+            qq = jnp.clip(jnp.round(wg / s[:, None, :]), -qmax - 1, qmax)
+            err = jnp.sum(jnp.square(qq * s[:, None, :] - wg), axis=1)
+            if best_err is None:
+                best_err = err
+            else:
+                pick = err < best_err
+                best_scales = jnp.where(pick, s, best_scales)
+                best_err = jnp.minimum(err, best_err)
+        scales = best_scales
     q = jnp.round(wg / scales[:, None, :])
     q = jnp.clip(q, -qmax - 1, qmax).astype(jnp.int8)
     q = q.reshape(din, dout)

@@ -231,16 +231,20 @@ def main():
         params = init_llama_params(cfg, kp, dtype=jnp.bfloat16)
         params = jax.block_until_ready(params)
         print("# params ready, sampling...", file=sys.stderr, flush=True)
-        fn = functools.partial(sample_text, cache_dtype=jnp.bfloat16)
+        temp = float(os.environ.get("PPL_TEMP", "0.8"))
+        fn = functools.partial(sample_text, temp=temp,
+                               cache_dtype=jnp.bfloat16)
         tokens = jax.jit(fn, static_argnums=(1, 3, 4))(
             params, cfg, ks, batch, length)
         tokens = np.asarray(tokens)
         del params                          # free device HBM
         print("# sampled, evaluating...", file=sys.stderr, flush=True)
 
+        g8 = int(os.environ.get("PPL_G8", "128"))
+        g4 = int(os.environ.get("PPL_G4", "32"))
         ppl = {}
-        for name, bits, group in (("fp32", None, 0), ("int8", 8, 128),
-                                  ("int4", 4, 64)):
+        for name, bits, group in (("fp32", None, 0), ("int8", 8, g8),
+                                  ("int4", 4, g4)):
             ppl[name] = perplexity_streaming_seeded(
                 kp, cfg, tokens, bits=bits, group=group)
             print(f"# ppl[{name}] = {ppl[name]:.4f}", file=sys.stderr,
