@@ -145,7 +145,7 @@ def perplexity_streaming_seeded(key, cfg, tokens, bits=None, group=128,
     from infinitensor_tpu.models.llama import (
         _block_prefill, _linear, rmsnorm)
     from infinitensor_tpu.quant.weight_only import (
-        concat_qlinear, quantize_weight)
+        concat_qlinear, dequantize_weight, quantize_weight)
 
     B, L = tokens.shape
     tokens = jnp.asarray(tokens)
@@ -155,6 +155,19 @@ def perplexity_streaming_seeded(key, cfg, tokens, bits=None, group=128,
     def dense(k, din, dout):
         return (jax.random.normal(k, (din, dout), jnp.float32)
                 / math.sqrt(din)).astype(dtype)
+
+    def control_noise(k, w, nbits):
+        """Replace quantization by iid Gaussian noise of the SAME per-matrix
+        RMS as the real int-quantization error — the chaos control: if the
+        ppl delta under this matches the real quantized delta, the delta
+        measures perturbation-divergence of the random-init network, not
+        quantizer quality."""
+        q = quantize_weight(w, nbits, group)
+        err = dequantize_weight(q, jnp.float32) - w.astype(jnp.float32)
+        sigma = jnp.sqrt(jnp.mean(jnp.square(err)))
+        return (w.astype(jnp.float32)
+                + sigma * jax.random.normal(k, w.shape, jnp.float32)
+                ).astype(w.dtype)
 
     @jax.jit
     def gen_layer(ks):
@@ -170,6 +183,13 @@ def perplexity_streaming_seeded(key, cfg, tokens, bits=None, group=128,
             "w_down": dense(ks[6], cfg.intermediate, cfg.dim),
         }
         if bits is None:
+            return layer
+        if isinstance(bits, str) and bits.startswith("control"):
+            nbits = int(bits[len("control"):])
+            for i, key_name in enumerate(("wq", "wk", "wv", "wo", "w_gate",
+                                          "w_up", "w_down")):
+                layer[key_name] = control_noise(
+                    jax.random.fold_in(ks[i], 77), layer[key_name], nbits)
             return layer
         qk = {k: quantize_weight(layer[k], bits, group)
               for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")}
@@ -198,7 +218,10 @@ def perplexity_streaming_seeded(key, cfg, tokens, bits=None, group=128,
         x = jax.block_until_ready(block(cfg, layer, x, pos))
         del layer
     lm = dense(keys[cfg.n_layers * 7 + 1], cfg.dim, cfg.vocab_size)
-    if bits is not None:
+    if isinstance(bits, str) and bits.startswith("control"):
+        lm = control_noise(jax.random.fold_in(keys[0], 99), lm,
+                           int(bits[len("control"):]))
+    elif bits is not None:
         lm = quantize_weight(lm, bits, group)
     x = rmsnorm(x, jnp.ones((cfg.dim,), dtype), cfg.norm_eps)
     return _nll_from_logits(_linear(x, lm), tokens)
@@ -242,9 +265,11 @@ def main():
 
         g8 = int(os.environ.get("PPL_G8", "128"))
         g4 = int(os.environ.get("PPL_G4", "32"))
+        evals = [("fp32", None, 0), ("int8", 8, g8), ("int4", 4, g4)]
+        if os.environ.get("PPL_CONTROL"):
+            evals.append(("control4", "control4", g4))
         ppl = {}
-        for name, bits, group in (("fp32", None, 0), ("int8", 8, g8),
-                                  ("int4", 4, g4)):
+        for name, bits, group in evals:
             ppl[name] = perplexity_streaming_seeded(
                 kp, cfg, tokens, bits=bits, group=group)
             print(f"# ppl[{name}] = {ppl[name]:.4f}", file=sys.stderr,
@@ -277,6 +302,10 @@ def main():
         "rel_delta_int4": round(rel4, 5),
         "gate_int8_rel_le_1.8pct": bool(rel8 <= 0.018),
         "gate_int4_rel_le_9.1pct": bool(rel4 <= 0.091),
+        **({"ppl_control4": round(ppl["control4"], 4),
+            "rel_delta_control4": round(
+                (ppl["control4"] - ppl["fp32"]) / ppl["fp32"], 5)}
+           if "control4" in ppl else {}),
         "tokens": int(tokens.size),
         "geometry": {"dim": cfg.dim, "layers": cfg.n_layers,
                      "vocab": cfg.vocab_size, "stream": stream,
