@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from infinitensor_tpu.utils.platform import pallas_interpret, use_pallas
+from infinitensor_tpu.utils.platform import (
+    is_tpu, pallas_interpret, use_pallas)
 
 
 def mha_ref(q, k, v, causal: bool = True):
@@ -86,7 +87,10 @@ def flash_attention(q, k, v, causal: bool = True, block_q: int = 256,
     """q/k/v [B, H, S, D] -> [B, H, S, D]."""
     if not use_pallas(interpret):
         return mha_ref(q, k, v, causal)
-    interpret = interpret or pallas_interpret()
+    # the env toggle must never put the REAL chip under the interpreter
+    # (a stale INFINITPU_PALLAS_INTERPRET=1 from CPU CI would look like a
+    # tunnel hang) — same guard as every other kernel
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -48,7 +48,10 @@ class SearchEngine:
         variants = [graph] + search_merge(graph)
         _log.info("search_start", ops=len(graph.operators),
                   merge_variants=len(variants) - 1)
-        best, best_cost = None, float("inf")
+        # the original graph is the fallback winner: if every variant
+        # scores inf (profiling failed), return it unchanged instead of
+        # crashing on best=None
+        best, best_cost = graph, float("inf")
         for i, variant in enumerate(variants):
             out = self._run_partitions(variant)
             cost = self._score(out)

@@ -181,6 +181,12 @@ class ServingEngine:
                 PromptLookupDraft)
             vf = verify_fn or llama_verify_step
             self._draft = draft or PromptLookupDraft()
+            if not hasattr(self._draft, "propose"):
+                raise ValueError(
+                    "engine spec_decode needs a per-slot draft with "
+                    ".propose(history, k) (e.g. PromptLookupDraft); "
+                    "ModelDraft's batch cache cannot follow slot churn — "
+                    "use speculative_generate for model drafts")
             self._verify = jax.jit(
                 lambda p, toks, ps, c: (lambda lg, cc: (
                     jnp.argmax(lg, axis=-1).astype(jnp.int32), cc))(
@@ -195,6 +201,7 @@ class ServingEngine:
         self.checkpoint_interval = int(checkpoint_interval)
         self._snap: Optional[dict] = None
         self._last_ckpt_steps = -1
+        self._next_uid = 0
 
     # ------------------------------------------------------------------
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
@@ -207,8 +214,13 @@ class ServingEngine:
             raise ValueError(
                 f"prompt length {len(prompt)} >= max_seq "
                 f"{self.cfg.max_seq}; it can never be admitted")
-        req = Request(uid if uid is not None else len(self.pending),
-                      list(prompt), max_new_tokens, eos_id)
+        if uid is None:
+            uid = self._next_uid
+        # uids must be unique among live requests: snapshot/restore match
+        # by uid, so a collision would cross-wire two requests' outputs
+        # on the recovery path
+        self._next_uid = max(self._next_uid, int(uid) + 1)
+        req = Request(uid, list(prompt), max_new_tokens, eos_id)
         self.pending.append(req)
         return req
 
@@ -299,9 +311,13 @@ class ServingEngine:
                     break
             self.pos[slot] += n_acc + 1
             self.last_token[slot] = int(greedy[slot, n_acc])
+            # no force-retire near the cache boundary: step()'s gate
+            # routes the next step to dense decode instead, so emitted
+            # tokens are identical for any K
             done = (len(req.generated) >= req.max_new_tokens or
-                    (req.eos_id is not None and req.eos_id in req.generated)
-                    or self.pos[slot] + 2 * K >= self.cfg.max_seq)
+                    (req.eos_id is not None
+                     and req.eos_id in req.generated)
+                    or self.pos[slot] + 1 >= self.cfg.max_seq)
             if done:
                 self._retire(slot)
         return len([r for r in self.slots if r is not None])
@@ -475,7 +491,10 @@ class ServingEngine:
         for bucket in self.prefill_buckets:
             self.submit([1] * min(2, bucket),
                         max_new_tokens=max(2, self.decode_chunk))
-            self.submit([1] * bucket, max_new_tokens=max(2, self.decode_chunk))
+            # a bucket can equal max_seq (the fallback bucket); the
+            # longest admissible prompt still compiles that bucket
+            self.submit([1] * min(bucket, self.cfg.max_seq - 1),
+                        max_new_tokens=max(2, self.decode_chunk))
         self.run_to_completion()
         self.steps = 0
         self.tokens_out = 0

@@ -97,6 +97,30 @@ class PagedServingEngine(ServingEngine):
         # page 0 reserved as the trash page: allocator hands out 1..N-1
         self.allocator = PageAllocator(n_pages, max_slots, mp)
         self.allocator.free = [p for p in self.allocator.free if p != 0]
+        self._usable_pages = len(self.allocator.free)
+
+    def _bucket(self, n: int) -> int:
+        # page-align EVERY bucket, including the cfg.max_seq fallback the
+        # base class returns for prompts above the largest configured
+        # bucket — an unaligned bucket would floor-divide in the page
+        # scatter and silently drop the prompt's tail KV rows
+        b = super()._bucket(n)
+        return ((b + self.page_size - 1) // self.page_size) * self.page_size
+
+    def submit(self, prompt, max_new_tokens: int = 32, eos_id=None,
+               uid=None):
+        ps = self.page_size
+        toks = len(prompt) + max_new_tokens + self.decode_chunk + 1
+        need = max(min((toks + ps - 1) // ps, self.allocator.max_pages),
+                   self._bucket(len(prompt)) // ps)
+        if need > self._usable_pages:
+            # can never be admitted, even with the pool fully drained —
+            # reject now instead of blocking the FIFO forever
+            raise ValueError(
+                f"request needs {need} pages but the pool only has "
+                f"{self._usable_pages} usable (page 0 is reserved); "
+                f"grow n_pages or shrink the request")
+        return super().submit(prompt, max_new_tokens, eos_id, uid)
 
     # -- admission ------------------------------------------------------
     def _pages_for(self, req) -> int:

@@ -73,16 +73,39 @@ class Config:
         raw = os.environ.get(knob.env)
         return knob.default if raw is None else _parse(knob, raw)
 
+    # knobs read inside jit-traced code: changing one must invalidate
+    # JAX's trace caches, or an executable compiled under the old value
+    # keeps running (e.g. the jnp oracle instead of the Pallas kernel
+    # body after toggling pallas_interpret)
+    _TRACED_KNOBS = frozenset({"pallas_interpret"})
+
+    def _invalidate_if_traced(self, names) -> None:
+        if any(n in self._TRACED_KNOBS for n in names):
+            try:
+                import jax
+                jax.clear_caches()
+            except Exception:    # noqa: BLE001 — jax not imported yet
+                pass
+
     def set(self, **kw) -> None:
+        changed = []
         for name, value in kw.items():
             if name not in self._knobs:
                 raise KeyError(f"unknown config knob {name!r}; "
                                f"have {sorted(self._knobs)}")
+            if getattr(self, name) != value:
+                changed.append(name)
             self._overrides[name] = value
+        self._invalidate_if_traced(changed)
 
     def unset(self, *names: str) -> None:
+        changed = []
         for name in names:
+            before = getattr(self, name)
             self._overrides.pop(name, None)
+            if getattr(self, name) != before:
+                changed.append(name)
+        self._invalidate_if_traced(changed)
 
     @contextlib.contextmanager
     def override(self, **kw):
@@ -91,7 +114,11 @@ class Config:
             self.set(**kw)
             yield self
         finally:
+            before = {n: getattr(self, n) for n in self._TRACED_KNOBS}
             self._overrides = prev
+            self._invalidate_if_traced(
+                n for n in self._TRACED_KNOBS if getattr(self, n)
+                != before[n])
 
     def snapshot(self) -> dict:
         """Every knob with its effective value + provenance."""

@@ -31,10 +31,12 @@ def is_tpu() -> bool:
 def pallas_interpret() -> bool:
     """True when Pallas kernel bodies should run under the Pallas
     interpreter (CPU CI): set INFINITPU_PALLAS_INTERPRET=1 (or
-    config.set(pallas_interpret=True)). Checked at call time (not cached)
-    so a test fixture can toggle it. Every kernel also takes an explicit
-    ``interpret=True`` kwarg — the analog of the reference's
-    kernel-vs-oracle tests running without a GPU."""
+    config.set(pallas_interpret=True)). The value is read at TRACE time
+    inside jitted callers, so config.set/override invalidate JAX's trace
+    caches when it changes (utils/config.py _TRACED_KNOBS) — already-
+    compiled callers re-trace under the new value. Every kernel also
+    takes an explicit ``interpret=True`` kwarg — the analog of the
+    reference's kernel-vs-oracle tests running without a GPU."""
     from infinitensor_tpu.utils.config import config
 
     return bool(config.pallas_interpret)

@@ -41,7 +41,10 @@ def main():
 
     t0 = time.time()
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
-    params = jax.block_until_ready(params)
+    # timing protocol: host fetch, not block_until_ready (which can return
+    # early through the axon tunnel — CLAUDE.md); launches are ordered, so
+    # fetching the last-created leaf bounds the build
+    np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:8])
     build_s = time.time() - t0
 
     eng = PagedServingEngine(params, cfg, max_slots=slots, n_pages=n_pages,

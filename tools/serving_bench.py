@@ -27,7 +27,8 @@ def main():
     t0 = time.time()
     params = init_gpt2_params(cfg, jax.random.PRNGKey(0))
     params = quantize_gpt2_params(params, bits=8, group_size=128)
-    params = jax.block_until_ready(params)
+    # host fetch, not block_until_ready (early-return hazard, CLAUDE.md)
+    np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:8])
     build_s = time.time() - t0
 
     chunk = int(os.environ.get("SERVE_CHUNK", "8"))
