@@ -165,8 +165,16 @@ def run_serving_bench():
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from infinitensor_tpu.models.llama import (
         LlamaConfig, init_kv_cache, llama_decode_step)
+
+    # claim the device up front and say so — these heartbeats are what the
+    # watchdog parent distinguishes a wedged tunnel by
+    dev0 = jax.devices()[0]
+    np.asarray(jnp.zeros((1,)))
+    print(f"# device ready: {getattr(dev0, 'device_kind', dev0.platform)}",
+          file=sys.stderr, flush=True)
 
     if (os.environ.get("BENCH_SERVING", "1") == "1"
             and not os.environ.get("BENCH_SMALL")):
@@ -188,6 +196,8 @@ def main():
     cache = init_kv_cache(cfg, batch, kv_quant=kv_quant)
     params, cache = jax.block_until_ready((params, cache))
     build_s = time.time() - t0
+    print(f"# llama params built in {build_s:.1f}s", file=sys.stderr,
+          flush=True)
 
     token = jnp.zeros((batch,), jnp.int32)
     pos = jnp.full((batch,), seq_ctx, jnp.int32)
@@ -212,6 +222,8 @@ def main():
         toks, token, pos, cache = step(params, token, pos, cache)
         np.asarray(toks)
         compile_s = time.time() - t0
+        print(f"# compiled in {compile_s:.1f}s", file=sys.stderr,
+              flush=True)
         outer = max(4, steps // multi)
         t0 = time.time()
         for i in range(outer):
@@ -268,5 +280,78 @@ def main():
     print(json.dumps(result))
 
 
+def _watchdog_main() -> int:
+    """Babysit the bench in a child process. The axon tunnel can wedge
+    FOREVER at a process's first RPC (CPU time freezes, one thread in
+    ep_poll — see CLAUDE.md, observed repeatedly); a wedged child emits
+    nothing, so: kill on prolonged silence, sit out the documented idle
+    gap, retry once. Child stdout (the JSON lines) is forwarded verbatim."""
+    import subprocess
+    import threading
+
+    import signal
+
+    quiet_s = float(os.environ.get("BENCH_WATCHDOG_QUIET_S", "600"))
+    gap_s = float(os.environ.get("BENCH_WATCHDOG_GAP_S", "420"))
+    attempts = int(os.environ.get("BENCH_WATCHDOG_ATTEMPTS", "2"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    rc = 1
+    live = []     # current child; killed if the parent itself is killed
+
+    def _reap(signum, frame):
+        for c in live:
+            c.kill()
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _reap)
+    signal.signal(signal.SIGINT, _reap)
+    for attempt in range(1, attempts + 1):
+        last = [time.time()]
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            bufsize=1)
+        live[:] = [child]
+
+        def pump(src, dst):
+            for line in src:
+                last[0] = time.time()
+                print(line, end="", file=dst, flush=True)
+
+        threads = [
+            threading.Thread(target=pump, args=(child.stdout, sys.stdout),
+                             daemon=True),
+            threading.Thread(target=pump, args=(child.stderr, sys.stderr),
+                             daemon=True)]
+        for t in threads:
+            t.start()
+        wedged = False
+        while child.poll() is None:
+            time.sleep(5)
+            if time.time() - last[0] > quiet_s:
+                wedged = True
+                print(f"# watchdog: child pid {child.pid} silent "
+                      f"{quiet_s:.0f}s (tunnel wedge); killing",
+                      file=sys.stderr, flush=True)
+                child.kill()
+                break
+        child.wait()
+        for t in threads:
+            t.join(timeout=5)
+        rc = child.returncode
+        if rc == 0:
+            return 0
+        if attempt < attempts:
+            print(f"# watchdog: attempt {attempt} rc={rc}"
+                  f"{' (wedged)' if wedged else ''}; sleeping "
+                  f"{gap_s:.0f}s idle gap before retry",
+                  file=sys.stderr, flush=True)
+            time.sleep(gap_s)
+    return rc or 1
+
+
 if __name__ == "__main__":
+    if (os.environ.get("BENCH_WATCHDOG", "1") == "1"
+            and not os.environ.get("BENCH_CHILD")):
+        sys.exit(_watchdog_main())
     main()
