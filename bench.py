@@ -287,78 +287,16 @@ def main():
     print(json.dumps(result))
 
 
-def _watchdog_main() -> int:
-    """Babysit the bench in a child process. The axon tunnel can wedge
-    FOREVER at a process's first RPC (CPU time freezes, one thread in
-    ep_poll — see CLAUDE.md, observed repeatedly); a wedged child emits
-    nothing, so: kill on prolonged silence, sit out the documented idle
-    gap, retry once. Child stdout (the JSON lines) is forwarded verbatim."""
-    import subprocess
-    import threading
-
-    import signal
-
-    quiet_s = float(os.environ.get("BENCH_WATCHDOG_QUIET_S", "600"))
-    gap_s = float(os.environ.get("BENCH_WATCHDOG_GAP_S", "420"))
-    attempts = int(os.environ.get("BENCH_WATCHDOG_ATTEMPTS", "2"))
-    env = dict(os.environ, BENCH_CHILD="1")
-    rc = 1
-    live = []     # current child; killed if the parent itself is killed
-
-    def _reap(signum, frame):
-        for c in live:
-            c.kill()
-        sys.exit(128 + signum)
-
-    signal.signal(signal.SIGTERM, _reap)
-    signal.signal(signal.SIGINT, _reap)
-    for attempt in range(1, attempts + 1):
-        last = [time.time()]
-        child = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            bufsize=1)
-        live[:] = [child]
-
-        def pump(src, dst):
-            for line in src:
-                last[0] = time.time()
-                print(line, end="", file=dst, flush=True)
-
-        threads = [
-            threading.Thread(target=pump, args=(child.stdout, sys.stdout),
-                             daemon=True),
-            threading.Thread(target=pump, args=(child.stderr, sys.stderr),
-                             daemon=True)]
-        for t in threads:
-            t.start()
-        wedged = False
-        while child.poll() is None:
-            time.sleep(5)
-            if time.time() - last[0] > quiet_s:
-                wedged = True
-                print(f"# watchdog: child pid {child.pid} silent "
-                      f"{quiet_s:.0f}s (tunnel wedge); killing",
-                      file=sys.stderr, flush=True)
-                child.kill()
-                break
-        child.wait()
-        for t in threads:
-            t.join(timeout=5)
-        rc = child.returncode
-        if rc == 0:
-            return 0
-        if attempt < attempts:
-            print(f"# watchdog: attempt {attempt} rc={rc}"
-                  f"{' (wedged)' if wedged else ''}; sleeping "
-                  f"{gap_s:.0f}s idle gap before retry",
-                  file=sys.stderr, flush=True)
-            time.sleep(gap_s)
-    return rc or 1
-
-
 if __name__ == "__main__":
     if (os.environ.get("BENCH_WATCHDOG", "1") == "1"
             and not os.environ.get("BENCH_CHILD")):
-        sys.exit(_watchdog_main())
+        # tunnel-wedge babysitter (utils/watchdog.py): heartbeat lines
+        # above are what it distinguishes a wedged child by
+        from infinitensor_tpu.utils.watchdog import babysit
+        sys.exit(babysit(
+            [sys.executable, os.path.abspath(__file__)],
+            quiet_s=float(os.environ.get("BENCH_WATCHDOG_QUIET_S", "600")),
+            gap_s=float(os.environ.get("BENCH_WATCHDOG_GAP_S", "420")),
+            attempts=int(os.environ.get("BENCH_WATCHDOG_ATTEMPTS", "2")),
+            env=dict(os.environ, BENCH_CHILD="1")))
     main()

@@ -63,4 +63,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from infinitensor_tpu.utils.watchdog import self_babysit
+    self_babysit("SERVE_CHILD")   # tunnel-wedge babysitter; WATCHDOG=0 opts out
     main()
