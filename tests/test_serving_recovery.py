@@ -11,6 +11,7 @@ fault raises from the decode executable, including after the KV cache
 buffer was donated (the case only a host copy can repair).
 """
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -106,6 +107,29 @@ def test_paged_engine_fault_recovery(params):
     assert got == want
     # page reclaim survived the restore: pool fully free after drain
     assert eng.free_pages == free_at_start
+
+
+def test_checkpoint_resume_int8_kv(params):
+    """INT8-KV snapshot round-trips through host numpy (int8 rows + f32
+    scale planes + bf16-free path) without dtype or value drift."""
+    want = _drain(ServingEngine(params, CFG, max_slots=2, kv_quant=True))
+
+    a = ServingEngine(params, CFG, max_slots=2, kv_quant=True)
+    for i, p in enumerate(PROMPTS):
+        a.submit(p, max_new_tokens=6, uid=100 + i)
+    for _ in range(3):
+        a.step()
+    snap = a.snapshot()
+    assert snap["cache"]["k"][0].dtype == np.int8
+    b = ServingEngine(params, CFG, max_slots=2, kv_quant=True)
+    b.restore(snap)
+    assert b.cache["k"][0].dtype == jnp.int8
+    assert b.cache["k_scale"][0].dtype == jnp.float32
+    handles = {r.uid: r for r in list(b.pending)
+               + [r for r in b.slots if r is not None]}
+    b.run_to_completion()
+    got = [list(handles[100 + i].generated) for i in range(len(PROMPTS))]
+    assert got == want
 
 
 def test_submit_rejects_oversized_prompt(params):
