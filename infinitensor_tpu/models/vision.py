@@ -240,3 +240,142 @@ def build_mbconv(h: GraphHandler, x, w: dict, stride=1):
     if stride == 1 and x.shape[1] == t.shape[1]:
         t = h.add(x, t)
     return t
+
+
+# ---------------------------------------------------------------------------
+# Inception-v2 (BN-Inception): full model from the factorized blocks above
+# (5x5 branch as two 3x3s IS the v2 change). Channel table follows the
+# BN-Inception paper's 3a-5b progression; reference CI imports this model
+# as ONNX (reference .github/workflows/build.yml:77-88).
+# ---------------------------------------------------------------------------
+
+_INCEPTION_V2_TABLE = [
+    ("3a", 64, 64, 64, 64, 96, 32),
+    ("3b", 64, 64, 96, 64, 96, 64),
+    "pool",
+    ("4a", 224, 64, 96, 96, 128, 128),
+    ("4b", 192, 96, 128, 96, 128, 128),
+    ("4c", 160, 128, 160, 128, 160, 96),
+    ("4d", 96, 128, 192, 160, 192, 96),
+    "pool",
+    ("5a", 352, 192, 320, 160, 224, 128),
+    ("5b", 352, 192, 320, 192, 224, 128),
+]
+
+
+def init_inception_v2_params(rng, num_classes: int = 1000) -> dict:
+    p = {}
+
+    def conv(name, cout, cin, k):
+        p[name] = (rng.standard_normal((cout, cin, k, k))
+                   * np.sqrt(2.0 / (cin * k * k))).astype(np.float32)
+
+    conv("stem.c7", 64, 3, 7)
+    conv("stem.c1", 64, 64, 1)
+    conv("stem.c3", 192, 64, 3)
+    cin = 192
+    for row in _INCEPTION_V2_TABLE:
+        if row == "pool":
+            continue
+        name, b1, b3r, b3, b5r, b5, bp = row
+        blk = init_inception_block_params(rng, cin, b1, b3r, b3, b5r, b5, bp)
+        for k, v in blk.items():
+            p[f"{name}.{k}"] = v
+        cin = b1 + b3 + b5 + bp
+    p["fc.w"] = (rng.standard_normal((cin, num_classes))
+                 * np.sqrt(1.0 / cin)).astype(np.float32)
+    p["fc.b"] = np.zeros(num_classes, np.float32)
+    return p
+
+
+def build_inception_v2(params: dict, batch: int = 1, image: int = 224,
+                       num_classes: int = 1000) -> GraphHandler:
+    h = GraphHandler(name="inception_v2")
+    w = {k: h.weight(v, name=k) for k, v in params.items()}
+    x = h.input((batch, 3, image, image), name="input")
+
+    t = h.relu(h.conv(x, w["stem.c7"], pads=(3, 3), strides=(2, 2)))
+    t = h.max_pool(t, kernel=(3, 3), strides=(2, 2), pads=(1, 1))
+    t = h.relu(h.conv(t, w["stem.c1"]))
+    t = h.relu(h.conv(t, w["stem.c3"], pads=(1, 1)))
+    t = h.max_pool(t, kernel=(3, 3), strides=(2, 2), pads=(1, 1))
+    for row in _INCEPTION_V2_TABLE:
+        if row == "pool":
+            t = h.max_pool(t, kernel=(3, 3), strides=(2, 2), pads=(1, 1))
+            continue
+        name = row[0]
+        sub = {k.split(".", 1)[1]: v for k, v in w.items()
+               if k.startswith(name + ".")}
+        t = build_inception_block(h, t, sub)
+    t = h.global_avg_pool(t)
+    t = h.flatten(t, axis=1)
+    t = h.add(h.matmul(t, w["fc.w"]), w["fc.b"])
+    h.graph.infer_output_roles()
+    return h
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-Lite4: full model from the MBConv block above. Stage table =
+# the lite4 scaling of the B0 table (width x1.4 rounded to 8, depth x1.8
+# ceil; lite fixes stem=32/head=1280, drops squeeze-excite). Structural
+# variant: ReLU in place of ReLU6, and stage 1 keeps a (1x) expand conv.
+# ---------------------------------------------------------------------------
+
+_LITE4_STAGES = [  # (expand, cout, repeats, stride, kernel)
+    (1, 24, 2, 1, 3),
+    (6, 32, 4, 2, 3),
+    (6, 56, 4, 2, 5),
+    (6, 112, 6, 2, 3),
+    (6, 160, 6, 1, 5),
+    (6, 272, 8, 2, 5),
+    (6, 448, 2, 1, 3),
+]
+
+
+def init_efficientnet_lite4_params(rng, num_classes: int = 1000) -> dict:
+    p = {}
+    p["stem.w"] = (rng.standard_normal((32, 3, 3, 3))
+                   * np.sqrt(2.0 / 27)).astype(np.float32)
+    for name, c in [("stem.bn", 32), ("head.bn", 1280)]:
+        p[name + ".scale"] = np.ones(c, np.float32)
+        p[name + ".bias"] = np.zeros(c, np.float32)
+        p[name + ".mean"] = np.zeros(c, np.float32)
+        p[name + ".var"] = np.ones(c, np.float32)
+    cin = 32
+    for si, (expand, cout, repeats, _stride, k) in enumerate(_LITE4_STAGES):
+        for bi in range(repeats):
+            blk = init_mbconv_params(rng, cin, cout, expand=expand, k=k)
+            for kk, v in blk.items():
+                p[f"s{si}.b{bi}.{kk}"] = v
+            cin = cout
+    p["head.w"] = (rng.standard_normal((1280, cin, 1, 1))
+                   * np.sqrt(2.0 / cin)).astype(np.float32)
+    p["fc.w"] = (rng.standard_normal((1280, num_classes))
+                 * np.sqrt(1.0 / 1280)).astype(np.float32)
+    p["fc.b"] = np.zeros(num_classes, np.float32)
+    return p
+
+
+def build_efficientnet_lite4(params: dict, batch: int = 1, image: int = 224,
+                             num_classes: int = 1000) -> GraphHandler:
+    h = GraphHandler(name="efficientnet_lite4")
+    w = {k: h.weight(v, name=k) for k, v in params.items()}
+    x = h.input((batch, 3, image, image), name="input")
+
+    def bn(t, name):
+        return h.batch_normalization(t, w[name + ".scale"], w[name + ".bias"],
+                                     w[name + ".mean"], w[name + ".var"])
+
+    t = h.relu(bn(h.conv(x, w["stem.w"], pads=(1, 1), strides=(2, 2)),
+                  "stem.bn"))
+    for si, (_expand, _cout, repeats, stride, _k) in enumerate(_LITE4_STAGES):
+        for bi in range(repeats):
+            sub = {kk.split(".", 2)[2]: v for kk, v in w.items()
+                   if kk.startswith(f"s{si}.b{bi}.")}
+            t = build_mbconv(h, t, sub, stride=stride if bi == 0 else 1)
+    t = h.relu(bn(h.conv(t, w["head.w"]), "head.bn"))
+    t = h.global_avg_pool(t)
+    t = h.flatten(t, axis=1)
+    t = h.add(h.matmul(t, w["fc.w"]), w["fc.b"])
+    h.graph.infer_output_roles()
+    return h

@@ -137,3 +137,39 @@ def test_resnet_onnx_roundtrip(rng):
     got = stub.run({"input": x}, return_numpy=True)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4)
+
+
+def test_inception_v2_full_model(rng):
+    """Full BN-Inception (v2) graph: run + ONNX round-trip execution
+    equality — the multi-branch concat topology is what stresses the
+    importer/exporter (reference CI model set)."""
+    from infinitensor_tpu.onnx.exporter import export_onnx
+    from infinitensor_tpu.onnx.importer import OnnxStub
+    p = V.init_inception_v2_params(rng, num_classes=8)
+    h = V.build_inception_v2(p, batch=1, image=64, num_classes=8)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+    ref = h.run({"input": x}, return_numpy=True)
+    (out,) = ref.values()
+    assert out.shape == (1, 8) and np.isfinite(out).all()
+    stub = OnnxStub(export_onnx(h.graph, "inception_v2").serialize())
+    got = stub.run({"input": x}, return_numpy=True)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4)
+
+
+def test_efficientnet_lite4_full_model(rng):
+    """Full EfficientNet-Lite4 stage table (32 MBConv blocks): run + ONNX
+    round-trip execution equality (grouped depthwise convs through the
+    codec)."""
+    from infinitensor_tpu.onnx.exporter import export_onnx
+    from infinitensor_tpu.onnx.importer import OnnxStub
+    p = V.init_efficientnet_lite4_params(rng, num_classes=8)
+    h = V.build_efficientnet_lite4(p, batch=1, image=64, num_classes=8)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+    ref = h.run({"input": x}, return_numpy=True)
+    (out,) = ref.values()
+    assert out.shape == (1, 8) and np.isfinite(out).all()
+    stub = OnnxStub(export_onnx(h.graph, "efficientnet_lite4").serialize())
+    got = stub.run({"input": x}, return_numpy=True)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4)
