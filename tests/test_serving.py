@@ -199,3 +199,41 @@ def test_engine_sharded_int8_kv(cfg, params):
     sh.run_to_completion()
     for a, b in zip(rref, rsh):
         assert a.generated == b.generated
+
+
+def test_engine_sharded_snapshot_resume(cfg, params):
+    """Checkpoint/resume composes with mesh placement: a snapshot taken
+    from a mesh-committed engine (sharded KV fetched to host) restores
+    onto a FRESH mesh-committed engine and completes identically to the
+    unsharded engine — the multi-host preemption/restart path."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from infinitensor_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(1, cfg.vocab_size, size=n))
+               for n in (5, 9, 3, 7)]
+
+    ref = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(16,))
+    reqs = [ref.submit(p, max_new_tokens=8, uid=50 + i)
+            for i, p in enumerate(prompts)]
+    ref.run_to_completion()
+    want = [r.generated for r in reqs]
+
+    a = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(16,),
+                      mesh=mesh)
+    for i, p in enumerate(prompts):
+        a.submit(p, max_new_tokens=8, uid=50 + i)
+    for _ in range(3):
+        a.step()
+    snap = a.snapshot()
+
+    b = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(16,),
+                      mesh=mesh)
+    b.restore(snap)
+    handles = {r.uid: r for r in list(b.pending)
+               + [r for r in b.slots if r is not None]}
+    b.run_to_completion()
+    got = [handles[50 + i].generated for i in range(len(prompts))]
+    assert got == want
