@@ -317,18 +317,20 @@ def build_inception_v2(params: dict, batch: int = 1, image: int = 224,
 # ---------------------------------------------------------------------------
 # EfficientNet-Lite4: full model from the MBConv block above. Stage table =
 # the lite4 scaling of the B0 table (width x1.4 rounded to 8, depth x1.8
-# ceil; lite fixes stem=32/head=1280, drops squeeze-excite). Structural
-# variant: ReLU in place of ReLU6, and stage 1 keeps a (1x) expand conv.
+# ceil; lite fixes stem=32/head=1280, drops squeeze-excite, and pins the
+# FIRST and LAST stage at 1 repeat — depth scaling skips them, matching
+# the official lite4 checkpoints). Structural variant: ReLU in place of
+# ReLU6, and stage 1 keeps a (1x) expand conv.
 # ---------------------------------------------------------------------------
 
 _LITE4_STAGES = [  # (expand, cout, repeats, stride, kernel)
-    (1, 24, 2, 1, 3),
+    (1, 24, 1, 1, 3),
     (6, 32, 4, 2, 3),
     (6, 56, 4, 2, 5),
     (6, 112, 6, 2, 3),
     (6, 160, 6, 1, 5),
     (6, 272, 8, 2, 5),
-    (6, 448, 2, 1, 3),
+    (6, 448, 1, 1, 3),
 ]
 
 

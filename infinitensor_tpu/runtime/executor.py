@@ -185,7 +185,13 @@ class GraphExecutor:
         iters = max(2, iters)
         t1 = self._timed_s(call, 1)
         tn = self._timed_s(call, iters)
-        return max((tn - t1) / (iters - 1), 0.0) * 1e3
+        dt = (tn - t1) / (iters - 1)
+        if dt <= 0.0:
+            # noise swamped the two-point diff (launch-bound tiny graph
+            # under host contention): the uncancelled average is a
+            # positive, honest upper bound — same fallback as profile()
+            dt = tn / iters
+        return dt * 1e3
 
     def profile(self, inputs: Optional[dict] = None,
                 perf_engine=None) -> list[tuple[str, str, float]]:

@@ -359,6 +359,7 @@ class ServingEngine:
             "steps": self.steps,
             "tokens_out": self.tokens_out,
             "cache": jax.tree_util.tree_map(np.asarray, self.cache),
+            "next_uid": self._next_uid,
             **self._extra_snapshot(),
         }
 
@@ -366,9 +367,13 @@ class ServingEngine:
         """Restore a `snapshot()`. Live Request objects are matched by uid
         and updated in place (caller-held handles stay valid across an
         in-process recovery); unmatched entries get fresh objects (the
-        cross-process resume path)."""
-        live = {r.uid: r for r in list(self.pending)
-                + [r for r in self.slots if r is not None]}
+        cross-process resume path). Live requests submitted AFTER the
+        snapshot was taken (uid absent from it) are NOT dropped: they are
+        re-queued into pending in submit order — any slot state they had
+        is gone with the restored cache, so they restart from prefill."""
+        live_order = list(self.pending) + \
+            [r for r in self.slots if r is not None]
+        live = {r.uid: r for r in live_order}
 
         def unpack(d):
             req = live.get(d["uid"]) or Request(
@@ -384,6 +389,16 @@ class ServingEngine:
         self.pending = deque(unpack(d) for d in snap["pending"])
         self.slots = [None if d is None else unpack(d)
                       for d in snap["slots"]]
+        snap_uids = {d["uid"] for d in snap["pending"]} | \
+            {d["uid"] for d in snap["slots"] if d is not None}
+        for req in live_order:
+            if req.uid not in snap_uids and not req.done:
+                req.generated = []
+                self.pending.append(req)
+        restored_uids = snap_uids | {r.uid for r in live_order}
+        self._next_uid = max(
+            [self._next_uid, int(snap.get("next_uid", 0))] +
+            [int(u) + 1 for u in restored_uids])
         self.pos = snap["pos"].copy()
         self.last_token = snap["last_token"].copy()
         self.steps = snap["steps"]

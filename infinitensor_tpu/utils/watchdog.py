@@ -30,8 +30,15 @@ import time
 
 
 def babysit(argv: list, quiet_s: float = 600.0, gap_s: float = 420.0,
-            attempts: int = 2, env: dict | None = None) -> int:
-    """Run argv under wedge supervision; returns the child's final rc."""
+            attempts: int = 2, env: dict | None = None,
+            fast_fail_s: float = 45.0) -> int:
+    """Run argv under wedge supervision; returns the child's final rc.
+
+    A child that exits nonzero on its own within ``fast_fail_s`` seconds
+    (not a silence-kill) is a deterministic failure — import error, bad
+    flag — that never held the chip: fail fast instead of sitting out the
+    idle gap and retrying (the gap exists only to let the tunnel recover
+    after a process that touched the TPU)."""
     env = dict(os.environ if env is None else env)
     rc = 1
     live: list = []
@@ -45,6 +52,7 @@ def babysit(argv: list, quiet_s: float = 600.0, gap_s: float = 420.0,
     old_int = signal.signal(signal.SIGINT, _reap)
     try:
         for attempt in range(1, attempts + 1):
+            started = time.time()
             last = [time.time()]
             child = subprocess.Popen(
                 argv, env=env, stdout=subprocess.PIPE,
@@ -81,6 +89,12 @@ def babysit(argv: list, quiet_s: float = 600.0, gap_s: float = 420.0,
             rc = child.returncode
             if rc == 0:
                 return 0
+            if not wedged and time.time() - started < fast_fail_s:
+                print(f"# watchdog: child rc={rc} in "
+                      f"{time.time() - started:.1f}s (deterministic fast "
+                      "failure, never held the chip); not retrying",
+                      file=sys.stderr, flush=True)
+                return rc
             if attempt < attempts:
                 print(f"# watchdog: attempt {attempt} rc={rc}"
                       f"{' (wedged)' if wedged else ''}; sleeping "

@@ -136,3 +136,42 @@ def test_submit_rejects_oversized_prompt(params):
     eng = ServingEngine(params, CFG, max_slots=2)
     with pytest.raises(ValueError, match="max_seq"):
         eng.submit(list(range(CFG.max_seq)))
+
+def test_post_checkpoint_submit_survives_recovery(params):
+    """A request submitted AFTER the last checkpoint must not vanish when
+    a fault rolls the engine back (advisor round-2 high finding): it is
+    re-queued from prefill and completes with the fault-free tokens."""
+    ref = ServingEngine(params, CFG, max_slots=2)
+    r_ref = ref.submit([41, 43, 47], max_new_tokens=6, uid=500)
+    ref.run_to_completion()
+    want = list(r_ref.generated)
+
+    eng = ServingEngine(params, CFG, max_slots=2, checkpoint_interval=100)
+    eng.submit([3, 5, 7], max_new_tokens=4, uid=100)
+    eng.step()                       # takes the one-and-only checkpoint
+    late = eng.submit([41, 43, 47], max_new_tokens=6, uid=500)
+    eng._decode = flaky = FlakyDecode(eng._decode, fail_on=2)
+    eng.run_to_completion()
+    assert flaky.faults == 1
+    assert late.done and list(late.generated) == want
+
+
+def test_restore_advances_next_uid(params):
+    """restore() must advance _next_uid past every restored uid so a
+    fresh engine's default-uid submit cannot collide with a live restored
+    request (advisor round-2 medium finding)."""
+    a = ServingEngine(params, CFG, max_slots=2)
+    a.submit([3, 5, 7], max_new_tokens=6)           # default uid 0
+    a.submit([11, 13], max_new_tokens=6)            # default uid 1
+    a.step()
+    snap = a.snapshot()
+
+    b = ServingEngine(params, CFG, max_slots=2)
+    b.restore(snap)
+    fresh = b.submit([17, 19], max_new_tokens=4)    # default uid must be >= 2
+    live_uids = [r.uid for r in list(b.pending)
+                 + [r for r in b.slots if r is not None]]
+    assert len(live_uids) == len(set(live_uids))
+    assert fresh.uid >= 2
+    b.run_to_completion()
+    assert fresh.done and len(fresh.generated) > 0

@@ -158,7 +158,7 @@ def test_inception_v2_full_model(rng):
 
 
 def test_efficientnet_lite4_full_model(rng):
-    """Full EfficientNet-Lite4 stage table (32 MBConv blocks): run + ONNX
+    """Full EfficientNet-Lite4 stage table (30 MBConv blocks): run + ONNX
     round-trip execution equality (grouped depthwise convs through the
     codec)."""
     from infinitensor_tpu.onnx.exporter import export_onnx
