@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +81,48 @@ def _kernel(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size, chunk):
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
+def _kernel_group(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size):
+    """Group-partial-dot variant: the per-group scale is applied to the
+    [rows, bn] PARTIAL DOT instead of the [group, bn] weight tile.
+
+    dot = sum_i x[i] w[i,o] = sum_g s[g,o] * sum_{i in g} x[i] q[i,o],
+    so dequant needs only int->bf16 casts on the weight path (plus the
+    int4 nibble shifts); the fp32 scale multiply — the VPU-bound part of
+    the chunked kernel, ~2 extra full passes over every weight element —
+    shrinks to one [rows, bn] multiply per group (rows<=8: ~1/16 of a
+    pass). On the weight-streaming-bound decode path this moves the
+    kernel from VPU-bound back to DMA-bound."""
+    bn = qw_ref.shape[1]
+    rows = x_ref.shape[0]
+    acc = jnp.zeros((rows, bn), jnp.float32)
+    g = group_size
+
+    if bits == 8:
+        din = qw_ref.shape[0]
+        for c in range(din // g):
+            w = qw_ref[c * g:(c + 1) * g, :].astype(jnp.bfloat16)
+            pd = jnp.dot(x_ref[:, c * g:(c + 1) * g], w,
+                         preferred_element_type=jnp.float32)
+            acc = acc + pd * sc_ref[c, :].astype(jnp.float32)[None, :]
+    else:
+        # split-half int4: packed group c holds unpacked group c (low
+        # nibbles) and group ng/2 + c (high nibbles) — scales line up as
+        # sc[c] / sc[ng_half + c]
+        half = qw_ref.shape[0]
+        ng_half = half // g
+        for c in range(ng_half):
+            u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
+            lo = ((u << 28) >> 28).astype(jnp.bfloat16)
+            hi = ((u << 24) >> 28).astype(jnp.bfloat16)
+            pd_lo = jnp.dot(x_ref[:, c * g:(c + 1) * g], lo,
+                            preferred_element_type=jnp.float32)
+            pd_hi = jnp.dot(x_ref[:, half + c * g:half + (c + 1) * g], hi,
+                            preferred_element_type=jnp.float32)
+            acc = acc + pd_lo * sc_ref[c, :].astype(jnp.float32)[None, :] \
+                + pd_hi * sc_ref[ng_half + c, :].astype(jnp.float32)[None, :]
+    o_ref[:, :] = acc.astype(o_ref.dtype)
+
+
 def _pick_chunk(rows: int, group: int, bits: int) -> int:
     """Chunk: multiple of the scale group dividing `rows` (STORED rows of
     the qweight tile: din for int8, din//2 packed for int4), sized so the
@@ -108,13 +152,20 @@ def _pick_bn(dout: int, din: int, bits: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_out", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_out", "interpret", "variant"))
 def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
-                 interpret: bool = False):
-    """x [..., din] @ q -> [..., dout]."""
+                 interpret: bool = False, variant: Optional[str] = None):
+    """x [..., din] @ q -> [..., dout].
+
+    variant: "group" (default; scales applied to group-partial dots —
+    measured faster on-chip, the weight path is pure cast) or "chunk"
+    (scales multiplied into dequantized weight chunks); env override
+    INFINITPU_QMM_VARIANT."""
     if not use_pallas(interpret):
         return quant_matmul_ref(x, q)
     interpret = interpret or (pallas_interpret() and not is_tpu())
+    variant = variant or os.environ.get("INFINITPU_QMM_VARIANT", "group")
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -132,13 +183,21 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     chunk = _pick_chunk(din // pack, q.group_size, q.bits)
     bn = block_out or _pick_bn(dout, din, q.bits)
     ng = q.scales.shape[0]
+    group_ok = (din // pack) % q.group_size == 0 and q.group_size % 128 == 0
+    if variant == "group" and not group_ok:
+        variant = "chunk"
     if (chunk == 0 or bn == 0 or chunk % 128 or pad_rows > 256
             or (q.bits == 4 and ng % 2)):
         return quant_matmul_ref(x, q)
 
+    if variant == "group":
+        kernel = functools.partial(_kernel_group, bits=q.bits,
+                                   group_size=q.group_size)
+    else:
+        kernel = functools.partial(_kernel, bits=q.bits,
+                                   group_size=q.group_size, chunk=chunk)
     out = pl.pallas_call(
-        functools.partial(_kernel, bits=q.bits, group_size=q.group_size,
-                          chunk=chunk),
+        kernel,
         grid=(dout // bn,),
         in_specs=[
             pl.BlockSpec((pad_rows, din), lambda j: (0, 0)),

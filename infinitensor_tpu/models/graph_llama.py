@@ -1,0 +1,217 @@
+"""Llama-family decoder built ON THE GRAPH IR (GraphHandler ops).
+
+This is the framework's own end-to-end LLM story — the analog of the
+reference's flagship example, which decodes Llama through its graph engine
+with the fused AttentionKVCache op (reference
+examples/python/llama_kvcache_inference.py:102-144, AttentionKVCache import
+in pyinfinitensor/src/pyinfinitensor/onnx.py). The hand-written JAX model
+(models/llama.py) is the serving fast path; THIS module proves the same
+model runs through GraphHandler -> Graph IR -> ONNX round-trip ->
+GraphExecutor with a donated KV cache, token-for-token identical.
+
+Build: one decode-step graph (token [B], pos [B], per-layer KV caches in,
+logits + updated caches out) using MatMul / RMSNorm / RoPE /
+AttentionKVCache / Sigmoid / Mul / Add / Gather / Reshape / Transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+
+from infinitensor_tpu.core import dtype as dt
+from infinitensor_tpu.core.handler import GraphHandler
+from infinitensor_tpu.models.llama import LlamaConfig
+
+
+@dataclasses.dataclass
+class GraphLlamaDecoder:
+    """Decode-step graph + the tensor-name map needed to drive it."""
+
+    handler: GraphHandler
+    cfg: LlamaConfig
+    batch: int
+    max_seq: int
+    token_name: str
+    pos_name: str
+    logits_name: str
+    k_in: list            # per-layer cache input tensor names
+    v_in: list
+    k_out: list           # per-layer cache output tensor names
+    v_out: list
+
+    @property
+    def graph(self):
+        return self.handler.graph
+
+    def state_map(self) -> dict:
+        m = {}
+        for i in range(self.cfg.n_layers):
+            m[self.k_in[i]] = self.k_out[i]
+            m[self.v_in[i]] = self.v_out[i]
+        return m
+
+
+def build_llama_decoder(params: dict, cfg: LlamaConfig, batch: int = 1,
+                        max_seq: Optional[int] = None,
+                        name: str = "llama_decoder") -> GraphLlamaDecoder:
+    """Build the one-token decode graph from a models/llama.py param pytree
+    (unfused layout: wq/wk/wv/wo/w_gate/w_up/w_down; float32 or bf16).
+
+    Requires n_heads == n_kv_heads (the AttentionKVCache graph op is MHA,
+    like the reference's; GQA stays on the hand-written fast path)."""
+    assert cfg.n_heads == cfg.n_kv_heads, "graph decoder is MHA-only"
+    S = max_seq or cfg.max_seq
+    B, H, D, dim = batch, cfg.n_heads, cfg.head_dim, cfg.dim
+    h = GraphHandler(name=name)
+
+    def w(arr, wname):
+        return h.weight(np.asarray(arr, np.float32), name=wname)
+
+    embed = w(params["embed"], "embed")
+    token = h.input((B,), dtype=dt.INT32, name="token")
+    pos = h.input((B,), dtype=dt.INT32, name="pos")
+    pos2 = h.reshape(pos, (B, 1))
+
+    k_in, v_in, k_out, v_out = [], [], [], []
+    x = h.reshape(h.gather(embed, token, axis=0), (B, 1, dim))
+    for i, layer in enumerate(params["layers"]):
+        kc = h.input((B, H, S, D), dtype=dt.FLOAT32,
+                     name=f"k_cache_{i}")
+        vc = h.input((B, H, S, D), dtype=dt.FLOAT32,
+                     name=f"v_cache_{i}")
+        k_in.append(kc.name)
+        v_in.append(vc.name)
+        hn = h.rms_norm(x, w(layer["attn_norm"], f"l{i}.attn_norm"),
+                        epsilon=cfg.norm_eps)
+        q = h.matmul(hn, w(layer["wq"], f"l{i}.wq"))
+        k = h.matmul(hn, w(layer["wk"], f"l{i}.wk"))
+        v = h.matmul(hn, w(layer["wv"], f"l{i}.wv"))
+        q = h.rope(pos2, q, dim_head=D)
+        k = h.rope(pos2, k, dim_head=D)
+
+        def heads(t):
+            return h.transpose(h.reshape(t, (B, 1, H, D)), (0, 2, 1, 3))
+
+        att, kc2, vc2 = h.attention_kvcache(kc, vc, heads(q), heads(k),
+                                            heads(v), pos)
+        k_out.append(kc2.name)
+        v_out.append(vc2.name)
+        att = h.reshape(h.transpose(att, (0, 2, 1, 3)), (B, 1, dim))
+        x = h.add(x, h.matmul(att, w(layer["wo"], f"l{i}.wo")))
+        h2 = h.rms_norm(x, w(layer["mlp_norm"], f"l{i}.mlp_norm"),
+                        epsilon=cfg.norm_eps)
+        gate = h.matmul(h2, w(layer["w_gate"], f"l{i}.w_gate"))
+        up = h.matmul(h2, w(layer["w_up"], f"l{i}.w_up"))
+        act = h.mul(h.mul(gate, h.sigmoid(gate)), up)      # SiLU(gate)*up
+        x = h.add(x, h.matmul(act, w(layer["w_down"], f"l{i}.w_down")))
+
+    xf = h.rms_norm(x, w(params["final_norm"], "final_norm"),
+                    epsilon=cfg.norm_eps)
+    logits = h.matmul(h.reshape(xf, (B, dim)), w(params["lm_head"],
+                                                 "lm_head"))
+    h.graph.infer_output_roles()
+    return GraphLlamaDecoder(h, cfg, B, S, token.name, pos.name,
+                             logits.name, k_in, v_in, k_out, v_out)
+
+
+def graph_greedy_decode(dec: GraphLlamaDecoder, first_token, n_steps: int,
+                        start_pos: int, executor=None):
+    """Autoregressive greedy decode through GraphExecutor with DONATED
+    cache state. Returns np.int32 [B, n_steps] (first entry = first_token's
+    successor ... mirrors models/llama.greedy_generate's decode phase)."""
+    import jax.numpy as jnp
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+
+    ex = executor or GraphExecutor(dec.graph)
+    step = ex.stepper(dec.state_map())
+    B = dec.batch
+    tok = np.full((B,), first_token, np.int32) if np.isscalar(first_token) \
+        else np.asarray(first_token, np.int32)
+    out_toks = []
+    for j in range(n_steps):
+        outs = step({dec.token_name: tok,
+                     dec.pos_name: np.full((B,), start_pos + j, np.int32)})
+        tok = np.asarray(jnp.argmax(outs[dec.logits_name], axis=-1),
+                         np.int32)
+        out_toks.append(tok)
+    return np.stack(out_toks, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# ServingEngine adapter: a graph-IR model as the engine's model family
+# ---------------------------------------------------------------------------
+
+class GraphLlamaServingAdapter:
+    """Adapts a graph-IR Llama decoder to ServingEngine's model-family
+    interface (prefill_fn / decode_fn / init_cache_fn).
+
+    The engine traces these under jit with the cache donated, so the
+    adapter resolves a decode graph per (batch, max_seq) geometry at trace
+    time (the executable-per-geometry discipline the reference implements
+    as its CUDA-Graph capture cache) and prefill is a per-position scan of
+    the same decode step — the reference's llama example feeds the prompt
+    through the decode graph one position at a time the same way
+    (llama_kvcache_inference.py:102-144)."""
+
+    def __init__(self, params: dict, cfg: LlamaConfig):
+        self.params = params
+        self.cfg = cfg
+        self._built: dict = {}
+
+    def _decoder(self, batch: int, max_seq: int) -> GraphLlamaDecoder:
+        key = (batch, max_seq)
+        if key not in self._built:
+            dec = build_llama_decoder(self.params, self.cfg, batch,
+                                      max_seq)
+            from infinitensor_tpu.runtime.executor import GraphExecutor
+            self._built[key] = (dec, GraphExecutor(dec.graph))
+        return self._built[key]
+
+    def _forward(self, token, pos, cache):
+        """One traced decode step: (logits [B, vocab], cache')."""
+        import jax.numpy as jnp
+
+        B = token.shape[0]
+        S = cache["k"][0].shape[2]
+        dec, ex = self._decoder(B, S)
+        vals = {dec.token_name: token.astype(jnp.int32),
+                dec.pos_name: pos.astype(jnp.int32)}
+        for i in range(self.cfg.n_layers):
+            vals[dec.k_in[i]] = cache["k"][i]
+            vals[dec.v_in[i]] = cache["v"][i]
+        out = ex._forward(vals, ex._weight_arrays())
+        new_cache = {"k": [out[n] for n in dec.k_out],
+                     "v": [out[n] for n in dec.v_out]}
+        return out[dec.logits_name], new_cache
+
+    # engine-facing fns (same signatures as models/llama.py) -------------
+    def decode_fn(self, params, cfg, token, pos, cache):
+        return self._forward(token, pos, cache)
+
+    def prefill_fn(self, params, cfg, tokens, cache):
+        """tokens [B, S] -> (logits [B, S, vocab], cache'): scan the decode
+        graph over positions."""
+        import jax
+        import jax.numpy as jnp
+
+        B, S = tokens.shape
+
+        def body(c, inp):
+            tok, p = inp
+            logits, c = self._forward(tok, p, c)
+            return c, logits
+
+        toks_t = jnp.moveaxis(tokens, 0, 1)               # [S, B]
+        ps = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None],
+                              (S, B))
+        cache, logits = jax.lax.scan(body, cache, (toks_t, ps))
+        return jnp.moveaxis(logits, 0, 1), cache
+
+    def init_cache_fn(self, cfg, batch, max_seq=None, dtype=None):
+        from infinitensor_tpu.models.llama import init_kv_cache
+        import jax.numpy as jnp
+        return init_kv_cache(cfg, batch, max_seq=max_seq,
+                             dtype=dtype or jnp.float32)

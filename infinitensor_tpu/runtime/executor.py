@@ -248,3 +248,73 @@ class GraphExecutor:
         """Return (fn, example_args): jittable fn over (inputs, weights)."""
         ex_inputs = self._materialize_inputs(None)
         return self._forward, (ex_inputs, self._weight_arrays())
+
+    # ------------------------------------------------------------------
+    def stepper(self, state_map: dict[str, str],
+                init_state: Optional[dict[str, Any]] = None
+                ) -> "StatefulStepper":
+        """Stateful autoregressive runner: ``state_map`` maps a state INPUT
+        tensor name to the OUTPUT tensor name that carries its next value
+        (e.g. KV-cache in -> KV-cache out from AttentionKVCache's
+        functional form). The state lives on device and its buffers are
+        DONATED every step, so cache updates are in-place HBM writes — the
+        TPU-native answer to the reference's in-kernel cache mutation
+        (reference src/kernels/cuda/attention_kvcache.cu) and heap-region
+        KV management (graph.cc:578-633)."""
+        return StatefulStepper(self, state_map, init_state)
+
+
+class StatefulStepper:
+    """Created by :meth:`GraphExecutor.stepper`; call with the non-state
+    inputs, receive the non-state outputs; state is threaded internally
+    through donated device buffers."""
+
+    def __init__(self, executor: GraphExecutor, state_map: dict[str, str],
+                 init_state: Optional[dict[str, Any]] = None):
+        self.executor = executor
+        self.state_map = dict(state_map)
+        in_names = {t.name for t in executor._inputs}
+        out_names = {t.name for t in executor._outputs}
+        missing = [n for n in state_map if n not in in_names] + \
+            [n for n in state_map.values() if n not in out_names]
+        if missing:
+            raise ValueError(f"state_map names not in graph boundary: "
+                             f"{missing}")
+        self._state_out_names = set(state_map.values())
+        if init_state is None:
+            init_state = {}
+        self.state = {}
+        by_name = {t.name: t for t in executor._inputs}
+        for name in state_map:
+            if name in init_state:
+                v = init_state[name]
+                self.state[name] = jnp.asarray(
+                    v, dtype=by_name[name].dtype.jnp())
+            else:
+                t = by_name[name]
+                self.state[name] = jnp.zeros(t.shape, t.dtype.jnp())
+
+        def fwd(inputs, weights, state):
+            vals = dict(inputs)
+            vals.update(state)
+            out = executor._forward(vals, weights)
+            new_state = {k: out[v] for k, v in self.state_map.items()}
+            outs = {k: v for k, v in out.items()
+                    if k not in self._state_out_names}
+            return outs, new_state
+
+        donate = (2,) if executor.donate_state else ()
+        self._fn = jax.jit(fwd, donate_argnums=donate)
+
+    def __call__(self, inputs: dict[str, Any],
+                 return_numpy: bool = False) -> dict[str, Any]:
+        inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        out, self.state = self._fn(inputs, self.executor._weight_arrays(),
+                                   self.state)
+        if return_numpy:
+            return {k: np.asarray(v) for k, v in out.items()}
+        return out
+
+    def fetch_state(self) -> dict[str, Any]:
+        """Host copy of the current state (checkpoint path)."""
+        return {k: np.asarray(v) for k, v in self.state.items()}
