@@ -110,3 +110,114 @@ def test_search_engine_merges_two_branch_graph(rng):
     after = _outputs(out, feeds)
     for k in before:
         np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
+
+
+def test_transposed_sibling_matmuls_merge(rng):
+    """transB=True siblings (weights [n, k]) merge: concat on the OUT
+    axis 0, merged matmul keeps transB (round-2 verdict item 7)."""
+    h = GraphHandler()
+    x = h.input((6, 16), name="x")
+    w1 = h.weight(rng.standard_normal((8, 16), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((12, 16), dtype=np.float32))
+    h.matmul(x, w1, trans_b=True)
+    h.matmul(x, w2, trans_b=True)
+    h.graph.infer_output_roles()
+    groups = find_merge_groups(h.graph)
+    assert ("shared_a_matmul" in {k for k, _ in groups})
+    merged = apply_merges(h.graph, groups)
+    mm = next(op for op in merged.operators if op.op_type == "MatMul")
+    assert mm.attrs.get("transB") and mm.inputs[1].shape == (20, 16)
+    feeds = {"x": rng.standard_normal((6, 16), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
+
+
+def test_gemm_bias_siblings_fuse_bias(rng):
+    """Siblings whose outputs each feed a 1-D bias Add (the importer's
+    Gemm decomposition) merge bias and all: one matmul + one Add."""
+    h = GraphHandler()
+    x = h.input((4, 16), name="x")
+    for i, n in enumerate((8, 12)):
+        w = h.weight(rng.standard_normal((16, n), dtype=np.float32))
+        b = h.weight(rng.standard_normal((n,), dtype=np.float32))
+        h.add(h.matmul(x, w), b)
+    h.graph.infer_output_roles()
+    merged = apply_merges(h.graph, find_merge_groups(h.graph))
+    assert sum(op.op_type == "MatMul" for op in merged.operators) == 1
+    assert sum(op.op_type == "Add" for op in merged.operators) == 1
+    feeds = {"x": rng.standard_normal((4, 16), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    assert set(after) == set(before)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
+
+
+def test_batched_3d_sibling_matmuls_merge(rng):
+    """Already-batched [b,m,k] x [b,k,n] siblings concatenate along the
+    existing batch dim into one bigger batched matmul."""
+    h = GraphHandler()
+    a = h.input((2, 4, 8), name="a")
+    b = h.input((2, 4, 8), name="b")
+    w1 = h.weight(rng.standard_normal((2, 8, 6), dtype=np.float32))
+    w2 = h.weight(rng.standard_normal((2, 8, 6), dtype=np.float32))
+    h.matmul(a, w1)
+    h.matmul(b, w2)
+    h.graph.infer_output_roles()
+    groups = find_merge_groups(h.graph)
+    assert groups and groups[0][0] == "stacked_matmul"
+    merged = apply_merges(h.graph, groups)
+    mm = next(op for op in merged.operators if op.op_type == "MatMul")
+    assert mm.inputs[0].shape == (4, 4, 8)
+    feeds = {"a": rng.standard_normal((2, 4, 8), dtype=np.float32),
+             "b": rng.standard_normal((2, 4, 8), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
+
+
+def test_subset_enumeration_produces_partial_merges(rng):
+    """With 3 siblings, search_merge enumerates variants that merge only
+    a 2-subset (reference searchMergeDfs plan space), and every variant
+    stays numerically exact."""
+    h = GraphHandler()
+    x = h.input((4, 16), name="x")
+    for n in (8, 8, 8):
+        h.matmul(x, h.weight(rng.standard_normal((16, n),
+                                                 dtype=np.float32)))
+    h.graph.infer_output_roles()
+    variants = search_merge(h.graph)
+    assert len(variants) >= 2
+    mm_counts = sorted(sum(op.op_type == "MatMul" for op in v.operators)
+                       for v in variants)
+    assert 1 in mm_counts          # all three merged
+    assert 2 in mm_counts          # a 2-subset merged, one left alone
+    feeds = {"x": rng.standard_normal((4, 16), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    for v in variants:
+        after = _outputs(v, feeds)
+        for k in before:
+            np.testing.assert_allclose(after[k], before[k],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_search_engine_scores_transposed_merge(rng):
+    """SearchEngine.run on a transposed-sibling graph returns a variant
+    with the merged matmul (cost model accepted it) — 'merged and wins'."""
+    h = GraphHandler()
+    x = h.input((32, 64), name="x")
+    for n in (64, 64):
+        h.matmul(x, h.weight(rng.standard_normal((n, 64),
+                                                 dtype=np.float32)),
+                 trans_b=True)
+    h.graph.infer_output_roles()
+    out = SearchEngine().run(h.graph)
+    feeds = {"x": rng.standard_normal((32, 64), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(out, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-4,
+                                   atol=1e-4)
