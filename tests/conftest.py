@@ -30,6 +30,29 @@ except Exception:
 import numpy as np
 import pytest
 
+# Modules dominated by multi-second compiles (HF parity, derivation
+# search, interpreted Pallas bodies, subprocess tests). The core loop is
+# `pytest -m "not slow"` (~2 min); CI runs everything.
+_SLOW_MODULES = {
+    "test_nnet_derivator", "test_ppl_gate", "test_optimizer",
+    "test_multiprocess", "test_paged_cache", "test_gpt2", "test_bert",
+    "test_watchdog", "test_llama", "test_derivation_search",
+    "test_onnx_sweep", "test_pallas_interpret", "test_vision_models",
+    "test_loaders", "test_serving_speculative", "test_scaling_audit",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy tests excluded from the quick "
+        "loop (run with -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

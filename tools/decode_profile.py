@@ -35,6 +35,16 @@ def emit(section, data):
 
 
 def main():
+    import threading
+
+    def heartbeat():
+        n = 0
+        while True:
+            time.sleep(120)
+            n += 1
+            print(f"# heartbeat {n} (compiles in flight)", flush=True)
+
+    threading.Thread(target=heartbeat, daemon=True).start()
     import jax
     import jax.numpy as jnp
     import numpy as np
