@@ -163,54 +163,20 @@ def decode_attention(k_cache, v_cache, q, k, v, pos):
 # Pallas flash-decode kernel
 # ---------------------------------------------------------------------------
 
-def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
-                         m_ref, l_ref, acc_ref, *, seq_block, rep):
-    """Grid (B, Hkv, S/blk), seq innermost. Blocks:
-    q [1, rep, D] (rep query heads sharing this kv head), k/v [seq_block, D].
-    Online softmax state in VMEM scratch, only 2D dots (MXU-friendly).
-    """
-    import jax.experimental.pallas as pl
-
-    s_idx = pl.program_id(2)
-    pos = pos_ref[pl.program_id(0)]
-    start = s_idx * seq_block
-
-    @pl.when(s_idx == 0)
-    def _():
-        m_ref[:, :] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:, :] = jnp.zeros_like(l_ref)
-        acc_ref[:, :] = jnp.zeros_like(acc_ref)
-
-    # Skip blocks entirely beyond the causal frontier.
-    @pl.when(start <= pos)
-    def _():
-        D = q_ref.shape[-1]
-        q = q_ref[:, :].astype(jnp.float32)               # [rep, D]
-        kb = k_ref[:, :].astype(jnp.float32)              # [blk, D]
-        vb = v_ref[:, :].astype(jnp.float32)              # [blk, D]
-        scale = 1.0 / math.sqrt(D)
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, seq_block), 1)
-        s = jnp.where(idx <= pos, s, -jnp.inf)            # [rep, blk]
-        m_prev = m_ref[:, :]                              # [rep, 1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur)
-        l_ref[:, :] = l_ref[:, :] * alpha + jnp.sum(p, -1, keepdims=True)
-        m_ref[:, :] = m_cur
-        pv = jax.lax.dot_general(p, vb, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
-
-    @pl.when(s_idx == pl.num_programs(2) - 1)
-    def _():
-        o_ref[:, :] = (acc_ref[:, :] / l_ref[:, :]).astype(o_ref.dtype)
+def _resolve_hb(head_block: int, Hkv: int) -> int:
+    import os
+    if head_block == 0:
+        head_block = int(os.environ.get("INFINITPU_FLASH_HB", "8"))
+    head_block = max(1, min(head_block, Hkv))
+    while Hkv % head_block:
+        head_block -= 1
+    return head_block
 
 
-@functools.partial(jax.jit, static_argnames=("seq_block", "interpret"))
-def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
-                 interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("seq_block", "interpret", "head_block"))
+def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 512,
+                 interpret: bool = False, head_block: int = 0):
     """q [B, H, 1, D], caches [B, Hkv, S, D] (already appended), pos [B].
     Returns [B, H, 1, D]. H must be a multiple of Hkv (GQA).
 
@@ -222,10 +188,15 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     padded S_max cache streams S_max rows instead of p — 2x the traffic at
     half-full (the reference kernel tiles only over the live sequence,
     attention_kvcache.cu:8-60; this recovers that property for static
-    shapes). Measured on v5e: large blocks win (one 2048-row DMA per head
-    beats 4x512 by ~1.5x — DMA setup dominates over elision at high fill),
-    so the default block is 2048 and the elision pays off at low fill or
-    long caches; tuned_flash_decode (runtime/tuner.py) sweeps the knob."""
+    shapes).
+
+    head_block (env INFINITPU_FLASH_HB, default 8): kv heads per grid
+    step. Per-head decode compute is tiny ([rep, D] x [D, blk]), so a
+    one-head grid pays its fixed per-step cost ~Hkv x S/blk times;
+    blocking heads amortizes it and lets seq_block shrink (better
+    frontier elision) without step-count blowup. Round-2's "2048 blocks
+    beat 4x512" measurement was an hb=1 artifact of exactly that
+    overhead; tuned_flash_decode (runtime/tuner.py) sweeps the knobs."""
     interpret = interpret or (pallas_interpret() and not is_tpu())
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -236,7 +207,8 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     seq_block = min(seq_block, S)
     if S % seq_block:
         seq_block = math.gcd(S, seq_block) or S
-    grid = (B, Hkv, S // seq_block)
+    hb = _resolve_hb(head_block, Hkv)
+    grid = (B, Hkv // hb, S // seq_block)
 
     qg = q.reshape(B, Hkv, rep, D)
 
@@ -248,21 +220,22 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, rep, D),
+            pl.BlockSpec((None, hb, rep, D),
                          lambda b, h, s, pos_ref: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, seq_block, D), kv_index),
-            pl.BlockSpec((None, None, seq_block, D), kv_index),
+            pl.BlockSpec((None, hb, seq_block, D), kv_index),
+            pl.BlockSpec((None, hb, seq_block, D), kv_index),
         ],
-        out_specs=pl.BlockSpec((None, None, rep, D),
+        out_specs=pl.BlockSpec((None, hb, rep, D),
                                lambda b, h, s, pos_ref: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((rep, 1), jnp.float32),
-            pltpu.VMEM((rep, 1), jnp.float32),
-            pltpu.VMEM((rep, D), jnp.float32),
+            pltpu.VMEM((hb * rep, 1), jnp.float32),
+            pltpu.VMEM((hb * rep, 1), jnp.float32),
+            pltpu.VMEM((hb * rep, D), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_flash_decode_kernel, seq_block=seq_block, rep=rep),
+        functools.partial(_flash_decode_hb_kernel, seq_block=seq_block,
+                          rep=rep, hb=hb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
         interpret=interpret,
@@ -270,17 +243,14 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     return out.reshape(B, H, 1, D)
 
 
-def _flash_decode_q8_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                            o_ref, m_ref, l_ref, acc_ref, *, seq_block, rep):
-    """INT8-KV flash decode. Blocks: q [rep, D] f32-castable, k/v
-    [seq_block, D] int8, ks/vs [1, seq_block] f32 per-row scales.
-
-    Dequantization is algebraic, not materialized: K's scale multiplies the
-    score matrix columns (s[r,j] = (q @ kq^T)[r,j] * ks[j]), V's scale folds
-    into the probability matrix (pv = (p * vs) @ vq) — so the [blk, D]
-    int8 tiles feed the MXU after a cast, with no [blk, D] scale multiply.
-    The HBM read per block is D+4 bytes/row vs 2D for bf16 (~2x less at
-    D=128)."""
+def _flash_decode_hb_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
+                            m_ref, l_ref, acc_ref, *, seq_block, rep, hb):
+    """Head-blocked flash decode: each grid step processes `hb` kv heads
+    (static in-kernel loop of 2D dots) instead of one. At decode shapes
+    the per-head compute is tiny ([rep<=8, D] x [D, blk]), so the
+    fixed per-grid-step cost dominates a one-head-per-step grid; blocking
+    heads amortizes it hb-fold and enables smaller seq blocks (better
+    causal-frontier DMA elision) at the same step count."""
     import jax.experimental.pallas as pl
 
     s_idx = pl.program_id(2)
@@ -296,34 +266,87 @@ def _flash_decode_q8_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     @pl.when(start <= pos)
     def _():
         D = q_ref.shape[-1]
-        q = q_ref[:, :].astype(jnp.float32)               # [rep, D]
-        kb = k_ref[:, :].astype(jnp.float32)              # [blk, D] (int8)
-        vb = v_ref[:, :].astype(jnp.float32)              # [blk, D] (int8)
         scale = 1.0 / math.sqrt(D)
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * (ks_ref[:, :] * scale)                    # fold K scales
         idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, seq_block), 1)
-        s = jnp.where(idx <= pos, s, -jnp.inf)            # [rep, blk]
-        m_prev = m_ref[:, :]                              # [rep, 1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur)
-        l_ref[:, :] = l_ref[:, :] * alpha + jnp.sum(p, -1, keepdims=True)
-        m_ref[:, :] = m_cur
-        pv = jax.lax.dot_general(p * vs_ref[:, :], vb,    # fold V scales
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+        live = idx <= pos
+        for h in range(hb):
+            q = q_ref[h].astype(jnp.float32)              # [rep, D]
+            kb = k_ref[h].astype(jnp.float32)             # [blk, D]
+            vb = v_ref[h].astype(jnp.float32)
+            s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(live, s * scale, -jnp.inf)      # [rep, blk]
+            r0, r1 = h * rep, (h + 1) * rep
+            m_prev = m_ref[r0:r1, :]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, -1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_cur)
+            p = jnp.exp(s - m_cur)
+            l_ref[r0:r1, :] = l_ref[r0:r1, :] * alpha \
+                + jnp.sum(p, -1, keepdims=True)
+            m_ref[r0:r1, :] = m_cur
+            pv = jax.lax.dot_general(p, vb, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[r0:r1, :] = acc_ref[r0:r1, :] * alpha + pv
 
     @pl.when(s_idx == pl.num_programs(2) - 1)
     def _():
-        o_ref[:, :] = (acc_ref[:, :] / l_ref[:, :]).astype(o_ref.dtype)
+        o_ref[:, :, :] = (acc_ref[:, :] / l_ref[:, :]).reshape(
+            o_ref.shape).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("seq_block", "interpret"))
+def _flash_decode_q8_hb_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref,
+                               vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                               seq_block, rep, hb):
+    """Head-blocked INT8-KV flash decode (see _flash_decode_hb_kernel;
+    scales folded algebraically as in _flash_decode_q8_kernel)."""
+    import jax.experimental.pallas as pl
+
+    s_idx = pl.program_id(2)
+    pos = pos_ref[pl.program_id(0)]
+    start = s_idx * seq_block
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:, :] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:, :] = jnp.zeros_like(l_ref)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(start <= pos)
+    def _():
+        D = q_ref.shape[-1]
+        scale = 1.0 / math.sqrt(D)
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, seq_block), 1)
+        live = idx <= pos
+        for h in range(hb):
+            q = q_ref[h].astype(jnp.float32)              # [rep, D]
+            kb = k_ref[h].astype(jnp.float32)             # [blk, D] int8
+            vb = v_ref[h].astype(jnp.float32)
+            s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (ks_ref[h] * scale)                   # [1, blk] scales
+            s = jnp.where(live, s, -jnp.inf)
+            r0, r1 = h * rep, (h + 1) * rep
+            m_prev = m_ref[r0:r1, :]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, -1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_cur)
+            p = jnp.exp(s - m_cur)
+            l_ref[r0:r1, :] = l_ref[r0:r1, :] * alpha \
+                + jnp.sum(p, -1, keepdims=True)
+            m_ref[r0:r1, :] = m_cur
+            pv = jax.lax.dot_general(p * vs_ref[h], vb,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[r0:r1, :] = acc_ref[r0:r1, :] * alpha + pv
+
+    @pl.when(s_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:, :, :] = (acc_ref[:, :] / l_ref[:, :]).reshape(
+            o_ref.shape).astype(o_ref.dtype)
+
+
 def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
-                    seq_block: int = 2048, interpret: bool = False):
+                    seq_block: int = 512, interpret: bool = False,
+                    head_block: int = 0):
     """INT8-KV flash decode. q [B, H, 1, D]; caches int8 [B, Hkv, S, D]
     (already appended); scales f32 [B, Hkv, S]; pos [B]. Returns
     [B, H, 1, D]. Same causal-frontier DMA clamp as flash_decode: blocks
@@ -353,7 +376,8 @@ def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
     seq_block = min(seq_block, S)
     if S % seq_block:
         seq_block = math.gcd(S, seq_block) or S
-    grid = (B, Hkv, S // seq_block)
+    hb = _resolve_hb(head_block, Hkv)
+    grid = (B, Hkv // hb, S // seq_block)
 
     qg = q.reshape(B, Hkv, rep, D)
     ks4 = k_scale.astype(jnp.float32).reshape(B, Hkv, 1, S)
@@ -371,24 +395,24 @@ def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, rep, D),
+            pl.BlockSpec((None, hb, rep, D),
                          lambda b, h, s, pos_ref: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, seq_block, D), kv_index),
-            pl.BlockSpec((None, None, seq_block, D), kv_index),
-            pl.BlockSpec((None, None, 1, seq_block), scale_index),
-            pl.BlockSpec((None, None, 1, seq_block), scale_index),
+            pl.BlockSpec((None, hb, seq_block, D), kv_index),
+            pl.BlockSpec((None, hb, seq_block, D), kv_index),
+            pl.BlockSpec((None, hb, 1, seq_block), scale_index),
+            pl.BlockSpec((None, hb, 1, seq_block), scale_index),
         ],
-        out_specs=pl.BlockSpec((None, None, rep, D),
+        out_specs=pl.BlockSpec((None, hb, rep, D),
                                lambda b, h, s, pos_ref: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((rep, 1), jnp.float32),
-            pltpu.VMEM((rep, 1), jnp.float32),
-            pltpu.VMEM((rep, D), jnp.float32),
+            pltpu.VMEM((hb * rep, 1), jnp.float32),
+            pltpu.VMEM((hb * rep, 1), jnp.float32),
+            pltpu.VMEM((hb * rep, D), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_flash_decode_q8_kernel, seq_block=seq_block,
-                          rep=rep),
+        functools.partial(_flash_decode_q8_hb_kernel, seq_block=seq_block,
+                          rep=rep, hb=hb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
         interpret=interpret,

@@ -22,11 +22,52 @@ def optimize_graph(graph: Graph, level: int = 1) -> Graph:
         changed |= eliminate_identity(graph)
         changed |= eliminate_dead_ops(graph)
         if level >= 2:
+            changed |= fold_constants(graph)
             changed |= fold_transpose_into_matmul(graph)
             changed |= fuse_bias_into_conv(graph)
             changed |= fuse_act_into_conv(graph)
     graph.topo_sort()
     return graph
+
+
+def fold_constants(graph: Graph, max_elems: int = 1 << 27) -> bool:
+    """Evaluate ops whose every input carries constant data (weights or
+    previously folded constants) and splice the result in as a weight.
+
+    The ONNX importer folds at import time; this pass folds constants
+    CREATED BY REWRITES — e.g. the Concat of sibling weights a searchMerge
+    introduces — so the merged graph doesn't re-concatenate its weights on
+    every execution. (Reference analog: the merged graph the reference
+    mutator emits references a fused weight tensor directly,
+    dummy_mutator.cc:26-45.)"""
+    import jax.numpy as jnp
+    import numpy as np
+    from infinitensor_tpu.core.tensor import TensorRole
+    from infinitensor_tpu.ops.lowering import LowerCtx, lower_op
+
+    ctx = LowerCtx(use_pallas=False)
+    changed = False
+    for op in list(graph.operators):
+        if op.op_type in ("RandomNormal", "RandomUniform"):
+            continue
+        if not op.inputs or any(
+                t is None or not t.has_data() or t.source is not None
+                for t in op.inputs):
+            continue
+        if sum(int(np.prod(t.shape)) for t in op.outputs) > max_elems:
+            continue
+        try:
+            outs = lower_op(op, [jnp.asarray(t.numpy()) for t in op.inputs],
+                            ctx)
+        except Exception:
+            continue
+        graph.remove_op(op)
+        for t, v in zip(op.outputs, outs):
+            t.set_data(np.asarray(v))
+            if t.role == TensorRole.OTHERS:
+                t.role = TensorRole.WEIGHT
+        changed = True
+    return changed
 
 
 def _replace_uses(graph: Graph, old, new) -> None:

@@ -221,3 +221,25 @@ def test_search_engine_scores_transposed_merge(rng):
     for k in before:
         np.testing.assert_allclose(after[k], before[k], rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_fold_constants_after_merge(rng):
+    """Merged sibling weights concat-fold into ONE weight tensor: the
+    merged graph must not re-concatenate constants every execution."""
+    from infinitensor_tpu.optimizer.rewrite import optimize_graph
+
+    h = GraphHandler()
+    x = h.input((4, 16), name="x")
+    h.matmul(x, h.weight(rng.standard_normal((16, 8), dtype=np.float32)))
+    h.matmul(x, h.weight(rng.standard_normal((16, 8), dtype=np.float32)))
+    h.graph.infer_output_roles()
+    merged = apply_merges(h.graph, find_merge_groups(h.graph))
+    assert any(op.op_type == "Concat" for op in merged.operators)
+    optimize_graph(merged, level=2)
+    assert not any(op.op_type == "Concat" for op in merged.operators)
+    feeds = {"x": rng.standard_normal((4, 16), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5,
+                                   atol=1e-5)

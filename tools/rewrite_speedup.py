@@ -60,13 +60,24 @@ def timed_exec(ex, graph, feed, n: int) -> float:
     n vs 2n two-point cancels per-launch tunnel overhead."""
     in_name = graph.inputs()[0].name
     out_name = graph.outputs()[0].name
+    chained = tuple(graph.inputs()[0].shape) == \
+        tuple(graph.outputs()[0].shape)
 
     def region(k: int) -> float:
         cur = dict(feed)
         t0 = time.perf_counter()
-        for _ in range(k):
-            cur = {in_name: ex.run(cur)[out_name]}
-        np.asarray(cur[in_name])                   # forces the full chain
+        if chained:                      # output feeds next input
+            for _ in range(k):
+                cur = {in_name: ex.run(cur)[out_name]}
+            np.asarray(cur[in_name])               # forces the full chain
+        else:
+            # non-shape-preserving (e.g. image -> logits): launches stay
+            # async (device executes them in order); the closing fetch of
+            # the LAST output waits for the whole region
+            out = None
+            for _ in range(k):
+                out = ex.run(cur)[out_name]
+            np.asarray(out)
         return time.perf_counter() - t0
 
     region(2)                                      # warm the chained path
@@ -78,15 +89,58 @@ def timed_exec(ex, graph, feed, n: int) -> float:
     return float(np.median(deltas))
 
 
+def build_inception(batch: int):
+    """The IMPORTED Inception-v2 graph (ONNX round-trip, so the measured
+    win is on a real model through the frontend): its parallel branch
+    convs are exactly the SearchEngine's sibling_conv merge fodder
+    (reference PET claims, README.md:57-82; dummy_mutator.cc:26-45)."""
+    import infinitensor_tpu.models.vision as V
+    from infinitensor_tpu.onnx.exporter import export_onnx
+    from infinitensor_tpu.onnx.importer import OnnxStub
+
+    rng = np.random.default_rng(0)
+    p = V.init_inception_v2_params(rng, num_classes=1000)
+
+    def make():
+        h = V.build_inception_v2(p, batch=batch, image=224)
+        stub = OnnxStub(export_onnx(h.graph, "inception_v2").serialize())
+        g = stub.handler.graph
+        g.infer_output_roles()
+        return g
+    return make(), make()
+
+
 def main():
     layers = int(os.environ.get("RS_LAYERS", "12"))
     batch = int(os.environ.get("RS_BATCH", "8"))
     dim = int(os.environ.get("RS_DIM", "2048"))
     n = int(os.environ.get("RS_ITERS", "16"))
+    model = os.environ.get("RS_MODEL", "qkv")
 
     from infinitensor_tpu.optimizer.rewrite import optimize_graph
     from infinitensor_tpu.optimizer.mutator import RuleBasedMutator
     from infinitensor_tpu.optimizer.search import SearchEngine
+
+    if model == "inception":
+        base, opt = build_inception(batch)
+        from infinitensor_tpu.optimizer.merge import (
+            apply_merges, find_merge_groups)
+        groups = [g for g in find_merge_groups(opt)
+                  if g[0] == "sibling_conv"]
+        assert groups, "no sibling_conv groups found in Inception"
+        merged = apply_merges(opt, groups)
+        assert merged is not None
+        opt = merged
+        # fold the weight-Concats the merge introduced (fold_constants)
+        optimize_graph(opt, level=2)
+        opt.topo_sort()
+        in_name = base.inputs()[0].name
+        feed = {in_name: np.random.default_rng(1).standard_normal(
+            (batch, 3, 224, 224)).astype(np.float32)}
+        run_pair(base, opt, feed, n, extra={
+            "model": "inception_v2(imported ONNX)", "batch": batch,
+            "conv_groups_merged": len(groups)})
+        return
 
     base = build_graph(layers, batch, dim)
     opt = build_graph(layers, batch, dim)
@@ -102,11 +156,13 @@ def main():
         opt = SearchEngine().run(opt)
     opt.topo_sort()
 
-    n_base = len(base.operators)
-    n_opt = len(opt.operators)
     feed = {"x": np.random.default_rng(1)
             .standard_normal((batch, dim), np.float32)}
+    run_pair(base, opt, feed, n,
+             extra={"layers": layers, "batch": batch, "dim": dim})
 
+
+def run_pair(base, opt, feed, n, extra):
     # one executor per graph (each compiles once); parity on a single
     # application (chained outputs amplify fp noise), then chained timing
     from infinitensor_tpu.runtime import GraphExecutor
@@ -126,8 +182,9 @@ def main():
         "unit": "x",
         "vs_baseline": round(speedup, 4),
         "detail": {
-            "layers": layers, "batch": batch, "dim": dim,
-            "ops_before": n_base, "ops_after": n_opt,
+            **extra,
+            "ops_before": len(base.operators),
+            "ops_after": len(opt.operators),
             "base_ms": round(base_s * 1e3, 4),
             "optimized_ms": round(opt_s * 1e3, 4),
             "max_rel_err": err,
