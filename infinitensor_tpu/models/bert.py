@@ -139,19 +139,16 @@ def _dyn_quant_matmul(h: GraphHandler, x, w_np: np.ndarray, b_np: np.ndarray):
     return h.add(y, h.weight(b_np))
 
 
-def build_bert_layer_graph(cfg: BertConfig, layer_params: dict,
-                           batch: int, seq: int,
-                           dynamic_quant: bool = False) -> GraphHandler:
-    """One BERT encoder layer as a graph (float or dynamic-INT8)."""
-    h = GraphHandler(name="bert_layer")
-    x = h.input((batch, seq, cfg.dim), name="x")
+def _np(a):
+    return np.asarray(a, np.float32)
+
+
+def _build_layer(h: GraphHandler, cfg: BertConfig, layer_params: dict,
+                 x, batch: int, seq: int, dynamic_quant: bool):
     hd = cfg.dim // cfg.n_heads
 
-    def np_(a):
-        return np.asarray(a, np.float32)
-
     def linear(t, wname, bname):
-        w_np, b_np = np_(layer_params[wname]), np_(layer_params[bname])
+        w_np, b_np = _np(layer_params[wname]), _np(layer_params[bname])
         if dynamic_quant:
             flat = h.reshape(t, (batch * seq, w_np.shape[0]))
             y = _dyn_quant_matmul(h, flat, w_np, b_np)
@@ -171,12 +168,45 @@ def build_bert_layer_graph(cfg: BertConfig, layer_params: dict,
                        (batch, seq, cfg.dim))
     attn_out = linear(merged, "wo", "bo")
     x1 = h.layer_normalization(
-        h.add(x, attn_out), h.weight(np_(layer_params["ln1_g"])),
-        h.weight(np_(layer_params["ln1_b"])), axis=-1, epsilon=cfg.eps)
+        h.add(x, attn_out), h.weight(_np(layer_params["ln1_g"])),
+        h.weight(_np(layer_params["ln1_b"])), axis=-1, epsilon=cfg.eps)
     up = h.gelu(linear(x1, "w_up", "b_up"))
     down = linear(up, "w_down", "b_down")
-    h.layer_normalization(
-        h.add(x1, down), h.weight(np_(layer_params["ln2_g"])),
-        h.weight(np_(layer_params["ln2_b"])), axis=-1, epsilon=cfg.eps)
+    return h.layer_normalization(
+        h.add(x1, down), h.weight(_np(layer_params["ln2_g"])),
+        h.weight(_np(layer_params["ln2_b"])), axis=-1, epsilon=cfg.eps)
+
+
+def build_bert_layer_graph(cfg: BertConfig, layer_params: dict,
+                           batch: int, seq: int,
+                           dynamic_quant: bool = False) -> GraphHandler:
+    """One BERT encoder layer as a graph (float or dynamic-INT8)."""
+    h = GraphHandler(name="bert_layer")
+    x = h.input((batch, seq, cfg.dim), name="x")
+    _build_layer(h, cfg, layer_params, x, batch, seq, dynamic_quant)
+    h.graph.infer_output_roles()
+    return h
+
+
+def build_bert_graph(cfg: BertConfig, params: dict, batch: int, seq: int,
+                     dynamic_quant: bool = False) -> GraphHandler:
+    """FULL BERT encoder as a graph: token/position/type embeddings + LN +
+    every layer (float or ORT-style dynamic-INT8 matmuls). Tokens in,
+    hidden states out — the BASELINE config-2 model on the graph path."""
+    from infinitensor_tpu.core import dtype as dt
+
+    h = GraphHandler(name="bert")
+    tokens = h.input((batch, seq), dtype=dt.INT32, name="tokens")
+    tok_emb = h.gather(h.weight(_np(params["tok"]), name="tok_emb"),
+                       tokens, axis=0)
+    pos_emb = h.weight(_np(params["pos"])[:seq][None], name="pos_emb")
+    type_emb = h.weight(_np(params["type"])[0][None, None],
+                        name="type_emb")
+    x = h.add(h.add(tok_emb, pos_emb), type_emb)
+    x = h.layer_normalization(
+        x, h.weight(_np(params["emb_ln_g"])),
+        h.weight(_np(params["emb_ln_b"])), axis=-1, epsilon=cfg.eps)
+    for lp in params["layers"]:
+        x = _build_layer(h, cfg, lp, x, batch, seq, dynamic_quant)
     h.graph.infer_output_roles()
     return h

@@ -1,21 +1,27 @@
 """Component-wise on-chip budget of the 7B INT4+KV8 decode step.
 
 Round-2 verdict: the flagship bench sustains ~452 GB/s effective while the
-chip's calibrated stream rate is ~656 GB/s — this tool finds the missing
-~30% by timing each decode component standalone, with the repo's honest
-protocol (host-fetch-terminated regions, chained executions in ONE
-executable with a threaded data dependence, two-point launch-overhead
-cancellation, min-of-3). It also times the candidate fixes in the same
-session: quant_matmul "group" vs "chunk" variants, flash_decode_q8
-seq_block sweep, bf16 vs f32 scales.
+chip's calibrated stream rate reads ~500-660 GB/s — this tool finds the
+missing bandwidth by timing each decode component standalone with the
+repo's honest protocol (host-fetch-terminated regions, chained executions
+inside ONE executable with a threaded data dependence, two-point
+launch-overhead cancellation, min-of-3), and times the candidate fixes in
+the same session: quant_matmul "group" vs "chunk" variants, bf16 scales,
+flash_decode_q8 (seq_block x head_block) sweep.
 
-Writes docs/DECODE_BUDGET.json progressively (each section flushed as it
-lands, so a tunnel wedge loses nothing).
+Compile discipline: the iteration count is a RUNTIME argument to
+lax.fori_loop, so each measurement compiles exactly ONE executable and
+runs it at n_lo/n_hi — an early revision compiled per-(section, n) and
+spent minutes per compile on the remote service. A heartbeat thread keeps
+the tunnel watchdog fed through long compiles.
+
+Writes docs/DECODE_BUDGET.json progressively.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
@@ -35,14 +41,12 @@ def emit(section, data):
 
 
 def main():
-    import threading
-
     def heartbeat():
         n = 0
         while True:
             time.sleep(120)
             n += 1
-            print(f"# heartbeat {n} (compiles in flight)", flush=True)
+            print(f"# heartbeat {n}", flush=True)
 
     threading.Thread(target=heartbeat, daemon=True).start()
     import jax
@@ -68,27 +72,26 @@ def main():
     params = jax.block_until_ready(params)
     print(f"# params built in {time.time()-t0:.1f}s", flush=True)
 
-    def timed_best(f, *args, reps=3):
-        """min-of-reps wall time of f(*args), host-fetch terminated."""
-        np.asarray(jax.tree_util.tree_leaves(f(*args))[0])  # warmup+compile
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = f(*args)
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
+    N_LO, N_HI = 1, 9
 
-    def two_point(make_chain, n_lo=1, n_hi=5):
-        """Per-iteration seconds via the two-point method: chain n
-        iterations inside one executable, subtract to cancel launch."""
-        f_lo = jax.jit(make_chain(n_lo))
-        f_hi = jax.jit(make_chain(n_hi))
-        t_lo = timed_best(f_lo, jnp.float32(1e-30))
-        t_hi = timed_best(f_hi, jnp.float32(1e-30))
-        return (t_hi - t_lo) / (n_hi - n_lo)
+    def two_point(chain_of_n, tag):
+        """chain_of_n(seed, n) runs n chained passes; ONE jit, two run
+        points, min-of-3 each, per-pass seconds returned."""
+        f = jax.jit(chain_of_n)
+        np.asarray(f(jnp.float32(0), jnp.int32(N_LO)))  # compile+warm
+        best = {}
+        for n in (N_LO, N_HI):
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f(jnp.float32(1e-30), jnp.int32(n)))
+                b = min(b, time.perf_counter() - t0)
+            best[n] = b
+        print(f"#   {tag}: t{N_LO}={best[N_LO]*1e3:.2f}ms "
+              f"t{N_HI}={best[N_HI]*1e3:.2f}ms", flush=True)
+        return (best[N_HI] - best[N_LO]) / (N_HI - N_LO)
 
-    # ---- HBM calibration (same as bench) --------------------------------
+    # ---- HBM calibration (same as bench: chunk-variant-free default) ----
     hbm = measure_hbm_bw(params, cfg, 1)
     emit("hbm_calibration", {"gbps": round(hbm / 1e9, 1)})
 
@@ -107,18 +110,16 @@ def main():
                      * q.scales.dtype.itemsize for q in qls)
         x0 = jnp.ones((1, din), jnp.bfloat16)
         for variant in ("group", "chunk"):
-            def make(n, qls=qls, x0=x0, variant=variant):
-                def chain(seed):
-                    def body(i, acc):
-                        a = acc
-                        for q in qls:
-                            x = x0 + a.astype(jnp.bfloat16)
-                            out = quant_matmul(x, q, variant=variant)
-                            a = jnp.mean(out).astype(jnp.float32) * 1e-30
-                        return a
-                    return jax.lax.fori_loop(0, n, body, seed)
-                return chain
-            dt = two_point(make)          # seconds per 32-layer pass
+            def chain(seed, n, qls=qls, x0=x0, variant=variant):
+                def body(i, acc):
+                    a = acc
+                    for q in qls:
+                        x = x0 + a.astype(jnp.bfloat16)
+                        out = quant_matmul(x, q, variant=variant)
+                        a = jnp.mean(out).astype(jnp.float32) * 1e-30
+                    return a
+                return jax.lax.fori_loop(0, n, body, seed)
+            dt = two_point(chain, f"{name}:{variant}")
             mm[f"{name}:{variant}"] = {
                 "ms_x32": round(dt * 1e3, 4),
                 "gbps": round(wbytes / dt / 1e9, 1),
@@ -128,24 +129,22 @@ def main():
     lm_bytes = int(lm.qweight.size) + int(lm.scales.size) * 4
     x0 = jnp.ones((1, cfg.dim), jnp.bfloat16)
     for variant in ("group", "chunk"):
-        def make(n, variant=variant):
-            def chain(seed):
-                def body(i, acc):
-                    a = acc
-                    for _ in range(4):
-                        x = x0 + a.astype(jnp.bfloat16)
-                        out = quant_matmul(x, lm, variant=variant)
-                        a = jnp.mean(out).astype(jnp.float32) * 1e-30
-                    return a
-                return jax.lax.fori_loop(0, n, body, seed)
-            return chain
-        dt = two_point(make) / 4
+        def chain(seed, n, variant=variant):
+            def body(i, acc):
+                a = acc
+                for _ in range(4):
+                    x = x0 + a.astype(jnp.bfloat16)
+                    out = quant_matmul(x, lm, variant=variant)
+                    a = jnp.mean(out).astype(jnp.float32) * 1e-30
+                return a
+            return jax.lax.fori_loop(0, n, body, seed)
+        dt = two_point(chain, f"lm_head:{variant}") / 4
         mm[f"lm_head:{variant}"] = {
             "ms_x1": round(dt * 1e3, 4),
             "gbps": round(lm_bytes / dt / 1e9, 1)}
         emit("quant_matmul", mm)
 
-    # ---- bf16 scales (wqkv only, group variant) -------------------------
+    # ---- bf16 scales (wqkv only, best variant) --------------------------
     from infinitensor_tpu.quant.weight_only import QuantizedLinear
     qls16 = [QuantizedLinear(l["wqkv"].qweight,
                              l["wqkv"].scales.astype(jnp.bfloat16),
@@ -155,22 +154,20 @@ def main():
                    for q in qls16)
     x0 = jnp.ones((1, cfg.dim), jnp.bfloat16)
 
-    def make16(n):
-        def chain(seed):
-            def body(i, acc):
-                a = acc
-                for q in qls16:
-                    x = x0 + a.astype(jnp.bfloat16)
-                    out = quant_matmul(x, q, variant="group")
-                    a = jnp.mean(out).astype(jnp.float32) * 1e-30
-                return a
-            return jax.lax.fori_loop(0, n, body, seed)
-        return chain
-    dt = two_point(make16)
+    def chain16(seed, n):
+        def body(i, acc):
+            a = acc
+            for q in qls16:
+                x = x0 + a.astype(jnp.bfloat16)
+                out = quant_matmul(x, q, variant="group")
+                a = jnp.mean(out).astype(jnp.float32) * 1e-30
+            return a
+        return jax.lax.fori_loop(0, n, body, seed)
+    dt = two_point(chain16, "wqkv:bf16scales")
     emit("wqkv_bf16_scales", {"ms_x32": round(dt * 1e3, 4),
                               "gbps": round(wbytes16 / dt / 1e9, 1)})
 
-    # ---- flash_decode_q8: seq_block sweep at pos=1024, S=2048 -----------
+    # ---- flash_decode_q8: (seq_block x head_block) at pos=1024 ----------
     B, Hkv, S, D = 1, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim
     key = jax.random.PRNGKey(1)
     kc = [jax.random.randint(key, (B, Hkv, S, D), -127, 127, jnp.int8)
@@ -188,21 +185,20 @@ def main():
     full_bytes = cfg.n_layers * 2 * Hkv * S * (D + 4)     # whole cache
     live_bytes = cfg.n_layers * 2 * Hkv * (pos_val + 1) * (D + 4)
     att = {}
-    for blk in (512, 1024, 2048):
-        def make(n, blk=blk):
-            def chain(seed):
-                def body(i, acc):
-                    a = acc
-                    for l in range(cfg.n_layers):
-                        q = q0 + a.astype(jnp.bfloat16)
-                        out = flash_decode_q8(q, kc[l], vc[l], ks[l],
-                                              vs[l], pos, seq_block=blk)
-                        a = jnp.mean(out).astype(jnp.float32) * 1e-30
-                    return a
-                return jax.lax.fori_loop(0, n, body, seed)
-            return chain
-        dt = two_point(make)
-        att[f"blk{blk}"] = {
+    for blk, hb in ((2048, 1), (2048, 8), (512, 8), (512, 32), (256, 32)):
+        def chain(seed, n, blk=blk, hb=hb):
+            def body(i, acc):
+                a = acc
+                for l in range(cfg.n_layers):
+                    q = q0 + a.astype(jnp.bfloat16)
+                    out = flash_decode_q8(q, kc[l], vc[l], ks[l],
+                                          vs[l], pos, seq_block=blk,
+                                          head_block=hb)
+                    a = jnp.mean(out).astype(jnp.float32) * 1e-30
+                return a
+            return jax.lax.fori_loop(0, n, body, seed)
+        dt = two_point(chain, f"blk{blk}:hb{hb}")
+        att[f"blk{blk}:hb{hb}"] = {
             "ms_x32": round(dt * 1e3, 4),
             "gbps_vs_full": round(full_bytes / dt / 1e9, 1),
             "gbps_vs_live": round(live_bytes / dt / 1e9, 1)}
