@@ -81,6 +81,21 @@ def _kernel(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size, chunk):
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
+def _kernel_group_norm(x_ref, nw_ref, qw_ref, sc_ref, o_ref, *, bits,
+                       group_size, eps):
+    """Group-dot kernel with the input RMSNorm fused in: x is the RAW
+    residual stream; the kernel normalizes it in VMEM before the dots.
+    Saves a standalone norm kernel (+ its HBM round trip and launch gap)
+    per matmul in the serial decode chain — XLA cannot fuse elementwise
+    producers into a Pallas custom call."""
+    x32 = x_ref[:, :].astype(jnp.float32)
+    ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    xn = (x32 * jax.lax.rsqrt(ms + eps)).astype(jnp.bfloat16) \
+        * nw_ref[:, :].astype(jnp.bfloat16)
+    _group_dots(xn, qw_ref, sc_ref, o_ref, bits=bits,
+                group_size=group_size)
+
+
 def _kernel_group(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size):
     """Group-partial-dot variant: the per-group scale is applied to the
     [rows, bn] PARTIAL DOT instead of the [group, bn] weight tile.
@@ -92,8 +107,13 @@ def _kernel_group(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size):
     shrinks to one [rows, bn] multiply per group (rows<=8: ~1/16 of a
     pass). On the weight-streaming-bound decode path this moves the
     kernel from VPU-bound back to DMA-bound."""
+    _group_dots(x_ref[:, :], qw_ref, sc_ref, o_ref, bits=bits,
+                group_size=group_size)
+
+
+def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
     bn = qw_ref.shape[1]
-    rows = x_ref.shape[0]
+    rows = x.shape[0]
     acc = jnp.zeros((rows, bn), jnp.float32)
     g = group_size
 
@@ -101,7 +121,7 @@ def _kernel_group(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size):
         din = qw_ref.shape[0]
         for c in range(din // g):
             w = qw_ref[c * g:(c + 1) * g, :].astype(jnp.bfloat16)
-            pd = jnp.dot(x_ref[:, c * g:(c + 1) * g], w,
+            pd = jnp.dot(x[:, c * g:(c + 1) * g], w,
                          preferred_element_type=jnp.float32)
             acc = acc + pd * sc_ref[c, :].astype(jnp.float32)[None, :]
     else:
@@ -114,9 +134,9 @@ def _kernel_group(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size):
             u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
             lo = ((u << 28) >> 28).astype(jnp.bfloat16)
             hi = ((u << 24) >> 28).astype(jnp.bfloat16)
-            pd_lo = jnp.dot(x_ref[:, c * g:(c + 1) * g], lo,
+            pd_lo = jnp.dot(x[:, c * g:(c + 1) * g], lo,
                             preferred_element_type=jnp.float32)
-            pd_hi = jnp.dot(x_ref[:, half + c * g:half + (c + 1) * g], hi,
+            pd_hi = jnp.dot(x[:, half + c * g:half + (c + 1) * g], hi,
                             preferred_element_type=jnp.float32)
             acc = acc + pd_lo * sc_ref[c, :].astype(jnp.float32)[None, :] \
                 + pd_hi * sc_ref[ng_half + c, :].astype(jnp.float32)[None, :]
@@ -150,6 +170,62 @@ def _pick_bn(dout: int, din: int, bits: int) -> int:
             best = b
         b += 128
     return best
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "block_out", "interpret"))
+def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
+                      block_out: int = 0, interpret: bool = False):
+    """RMSNorm(x) * norm_w @ q, the norm fused into the matmul kernel
+    (decode's pre-attention/pre-MLP pattern). Falls back to
+    rmsnorm + quant_matmul off-TPU or for shapes the kernel rejects."""
+    def fallback():
+        x32 = x.astype(jnp.float32)
+        ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        xn = (x32 * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * norm_w
+        return quant_matmul(xn, q, block_out=block_out,
+                            interpret=interpret)
+
+    if not use_pallas(interpret):
+        return fallback()
+    interpret = interpret or (pallas_interpret() and not is_tpu())
+    import jax.experimental.pallas as pl
+
+    *lead, din = x.shape
+    dout = q.out_features
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, din)
+    pad_rows = max(8, rows)
+    if pad_rows != rows:
+        x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
+
+    pack = 1 if q.bits == 8 else 2
+    bn = block_out or _pick_bn(dout, din, q.bits)
+    ng = q.scales.shape[0]
+    group_ok = (din // pack) % q.group_size == 0 and \
+        q.group_size % 128 == 0
+    if (not group_ok or bn == 0 or pad_rows > 256
+            or (q.bits == 4 and ng % 2)):
+        return fallback()
+
+    nw2 = norm_w.reshape(1, din)
+    out = pl.pallas_call(
+        functools.partial(_kernel_group_norm, bits=q.bits,
+                          group_size=q.group_size, eps=eps),
+        grid=(dout // bn,),
+        in_specs=[
+            pl.BlockSpec((pad_rows, din), lambda j: (0, 0)),
+            pl.BlockSpec((1, din), lambda j: (0, 0)),
+            pl.BlockSpec((din // pack, bn), lambda j: (0, j)),
+            pl.BlockSpec((ng, bn), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((pad_rows, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
+        interpret=interpret,
+    )(x2, nw2, q.qweight, q.scales)
+    return out[:rows].reshape(*lead, dout)
 
 
 @functools.partial(jax.jit,

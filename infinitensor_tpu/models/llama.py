@@ -136,6 +136,19 @@ def _linear(x, w):
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _linear_norm(x, norm_w, w, eps):
+    """rmsnorm(x)*norm_w @ w, fused into the Pallas kernel on TPU for
+    quantized weights (the standalone norm kernel between matmuls costs a
+    launch + HBM round trip XLA cannot fuse into a custom call)."""
+    from infinitensor_tpu.utils.platform import use_pallas
+
+    if isinstance(w, QuantizedLinear) and use_pallas() \
+            and x.shape[-1] >= 512:
+        from infinitensor_tpu.kernels.quant_matmul import quant_matmul_norm
+        return quant_matmul_norm(x, norm_w, w, eps=eps)
+    return _linear(rmsnorm(x, norm_w, eps), w)
+
+
 # ---------------------------------------------------------------------------
 # building blocks
 # ---------------------------------------------------------------------------
@@ -280,32 +293,47 @@ def llama_prefill(params, cfg: LlamaConfig, tokens, cache):
     return logits, new
 
 
-def _qkv(cfg, layer, h):
-    """Project to q/k/v, using the fused QKV matrix when present."""
+def _qkv(cfg, layer, h, norm_w=None, eps=1e-5):
+    """Project to q/k/v, using the fused QKV matrix when present. With
+    norm_w given, h is the RAW residual and the rmsnorm fuses into the
+    matmul kernel (_linear_norm)."""
     B, S, _ = h.shape
     kvd = cfg.n_kv_heads * cfg.head_dim
+
+    def lin(w):
+        if norm_w is not None:
+            return _linear_norm(h, norm_w, w, eps)
+        return _linear(h, w)
+
     if "wqkv" in layer:
-        qkv = _linear(h, layer["wqkv"])
+        qkv = lin(layer["wqkv"])
         q = qkv[..., :cfg.dim]
         k = qkv[..., cfg.dim:cfg.dim + kvd]
         v = qkv[..., cfg.dim + kvd:]
     else:
-        q = _linear(h, layer["wq"])
-        k = _linear(h, layer["wk"])
-        v = _linear(h, layer["wv"])
+        q = lin(layer["wq"])
+        k = lin(layer["wk"])
+        v = lin(layer["wv"])
     return (q.reshape(B, S, cfg.n_heads, cfg.head_dim),
             k.reshape(B, S, cfg.n_kv_heads, cfg.head_dim),
             v.reshape(B, S, cfg.n_kv_heads, cfg.head_dim))
 
 
-def _mlp(cfg, layer, h2):
+def _mlp(cfg, layer, h2, norm_w=None, eps=1e-5):
+    """SwiGLU MLP; with norm_w given, h2 is the RAW residual and the
+    rmsnorm fuses into the gate/up matmul kernel."""
+    def lin(h, w):
+        if norm_w is not None:
+            return _linear_norm(h, norm_w, w, eps)
+        return _linear(h, w)
+
     if "w_gateup" in layer:
-        gu = _linear(h2, layer["w_gateup"]).astype(jnp.float32)
+        gu = lin(h2, layer["w_gateup"]).astype(jnp.float32)
         gate, up = gu[..., :cfg.intermediate], gu[..., cfg.intermediate:]
         gate = jax.nn.silu(gate)
     else:
-        gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
-        up = _linear(h2, layer["w_up"]).astype(jnp.float32)
+        gate = jax.nn.silu(lin(h2, layer["w_gate"]).astype(jnp.float32))
+        up = lin(h2, layer["w_up"]).astype(jnp.float32)
     return _linear((gate * up).astype(h2.dtype), layer["w_down"])
 
 
@@ -315,8 +343,8 @@ def _block_decode(cfg, layer, x, pos, cache_k, cache_v, k_scale=None,
     When k_scale/v_scale are given the cache is INT8 with per-(b,h,s)
     scales (BASELINE INT8 KV cache)."""
     B = x.shape[0]
-    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-    q, k, v = _qkv(cfg, layer, h)
+    q, k, v = _qkv(cfg, layer, x, norm_w=layer["attn_norm"],
+                   eps=cfg.norm_eps)
     pos2 = pos[:, None]
     q = rope(q, pos2, cfg.rope_theta)
     k = rope(k, pos2, cfg.rope_theta)
@@ -336,8 +364,8 @@ def _block_decode(cfg, layer, x, pos, cache_k, cache_v, k_scale=None,
             vh.astype(cache_v.dtype), pos)
     attn = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
     x = x + _linear(attn, layer["wo"])
-    h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-    x = x + _mlp(cfg, layer, h2)
+    x = x + _mlp(cfg, layer, x, norm_w=layer["mlp_norm"],
+                 eps=cfg.norm_eps)
     return x, cache_k, cache_v, k_scale, v_scale
 
 

@@ -157,3 +157,33 @@ def test_env_toggle_routes_dispatchers(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want.reshape(B, H, 1, D)),
         atol=2e-5, rtol=2e-5)
+
+
+def test_quantized_decode_block_fused_norm_interpret(rng):
+    """Full quantized decode step with the fused-norm matmul kernel
+    (quant_matmul_norm) active via pallas_interpret, vs the pure-jnp
+    path: token-level numerics must agree."""
+    import jax
+    import jax.numpy as jnp
+    from infinitensor_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_llama_params, llama_decode_step,
+        quantize_llama_params)
+    from infinitensor_tpu.utils.config import config
+
+    cfg = LlamaConfig(vocab_size=256, dim=512, n_layers=2, n_heads=4,
+                      n_kv_heads=4, intermediate=1024, max_seq=32,
+                      dtype=jnp.float32)
+    params = quantize_llama_params(
+        init_llama_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32),
+        bits=8, group_size=128)
+    tok = jnp.array([3], jnp.int32)
+    pos = jnp.array([0], jnp.int32)
+
+    want, _ = llama_decode_step(params, cfg, tok, pos,
+                                init_kv_cache(cfg, 1, dtype=jnp.float32))
+    with config.override(pallas_interpret=True):
+        got, _ = llama_decode_step(
+            params, cfg, tok, pos, init_kv_cache(cfg, 1,
+                                                 dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
