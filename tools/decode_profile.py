@@ -74,17 +74,20 @@ def main():
 
     N_LO, N_HI = 1, 9
 
-    def two_point(chain_of_n, tag):
-        """chain_of_n(seed, n) runs n chained passes; ONE jit, two run
-        points, min-of-3 each, per-pass seconds returned."""
+    def two_point(chain_of_n, tag, *data):
+        """chain_of_n(seed, n, *data) runs n chained passes; ONE jit, two
+        run points, min-of-3 each, per-pass seconds returned. Device
+        arrays MUST come in via *data — a closure-captured device array
+        becomes an HLO constant and the remote compile service chokes on
+        multi-MB constants (learned the hard way: 10+ min compiles)."""
         f = jax.jit(chain_of_n)
-        np.asarray(f(jnp.float32(0), jnp.int32(N_LO)))  # compile+warm
+        np.asarray(f(jnp.float32(0), jnp.int32(N_LO), *data))
         best = {}
         for n in (N_LO, N_HI):
             b = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                np.asarray(f(jnp.float32(1e-30), jnp.int32(n)))
+                np.asarray(f(jnp.float32(1e-30), jnp.int32(n), *data))
                 b = min(b, time.perf_counter() - t0)
             best[n] = b
         print(f"#   {tag}: t{N_LO}={best[N_LO]*1e3:.2f}ms "
@@ -110,7 +113,7 @@ def main():
                      * q.scales.dtype.itemsize for q in qls)
         x0 = jnp.ones((1, din), jnp.bfloat16)
         for variant in ("group", "chunk"):
-            def chain(seed, n, qls=qls, x0=x0, variant=variant):
+            def chain(seed, n, qls, x0, variant=variant):
                 def body(i, acc):
                     a = acc
                     for q in qls:
@@ -119,7 +122,7 @@ def main():
                         a = jnp.mean(out).astype(jnp.float32) * 1e-30
                     return a
                 return jax.lax.fori_loop(0, n, body, seed)
-            dt = two_point(chain, f"{name}:{variant}")
+            dt = two_point(chain, f"{name}:{variant}", qls, x0)
             mm[f"{name}:{variant}"] = {
                 "ms_x32": round(dt * 1e3, 4),
                 "gbps": round(wbytes / dt / 1e9, 1),
@@ -129,7 +132,7 @@ def main():
     lm_bytes = int(lm.qweight.size) + int(lm.scales.size) * 4
     x0 = jnp.ones((1, cfg.dim), jnp.bfloat16)
     for variant in ("group", "chunk"):
-        def chain(seed, n, variant=variant):
+        def chain(seed, n, lm, x0, variant=variant):
             def body(i, acc):
                 a = acc
                 for _ in range(4):
@@ -138,7 +141,7 @@ def main():
                     a = jnp.mean(out).astype(jnp.float32) * 1e-30
                 return a
             return jax.lax.fori_loop(0, n, body, seed)
-        dt = two_point(chain, f"lm_head:{variant}") / 4
+        dt = two_point(chain, f"lm_head:{variant}", lm, x0) / 4
         mm[f"lm_head:{variant}"] = {
             "ms_x1": round(dt * 1e3, 4),
             "gbps": round(lm_bytes / dt / 1e9, 1)}
@@ -154,7 +157,7 @@ def main():
                    for q in qls16)
     x0 = jnp.ones((1, cfg.dim), jnp.bfloat16)
 
-    def chain16(seed, n):
+    def chain16(seed, n, qls16, x0):
         def body(i, acc):
             a = acc
             for q in qls16:
@@ -163,7 +166,7 @@ def main():
                 a = jnp.mean(out).astype(jnp.float32) * 1e-30
             return a
         return jax.lax.fori_loop(0, n, body, seed)
-    dt = two_point(chain16, "wqkv:bf16scales")
+    dt = two_point(chain16, "wqkv:bf16scales", qls16, x0)
     emit("wqkv_bf16_scales", {"ms_x32": round(dt * 1e3, 4),
                               "gbps": round(wbytes16 / dt / 1e9, 1)})
 
@@ -186,7 +189,7 @@ def main():
     live_bytes = cfg.n_layers * 2 * Hkv * (pos_val + 1) * (D + 4)
     att = {}
     for blk, hb in ((2048, 1), (2048, 8), (512, 8), (512, 32), (256, 32)):
-        def chain(seed, n, blk=blk, hb=hb):
+        def chain(seed, n, kc, vc, ks, vs, q0, pos, blk=blk, hb=hb):
             def body(i, acc):
                 a = acc
                 for l in range(cfg.n_layers):
@@ -197,7 +200,7 @@ def main():
                     a = jnp.mean(out).astype(jnp.float32) * 1e-30
                 return a
             return jax.lax.fori_loop(0, n, body, seed)
-        dt = two_point(chain, f"blk{blk}:hb{hb}")
+        dt = two_point(chain, f"blk{blk}:hb{hb}", kc, vc, ks, vs, q0, pos)
         att[f"blk{blk}:hb{hb}"] = {
             "ms_x32": round(dt * 1e3, 4),
             "gbps_vs_full": round(full_bytes / dt / 1e9, 1),
