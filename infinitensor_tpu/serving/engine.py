@@ -34,10 +34,11 @@ from infinitensor_tpu.utils.logging import get_logger
 _log = get_logger("serving")
 
 
-def _place_cache_on_mesh(cache, mesh, cache_specs=None):
-    """Commit KV slots to `mesh`: any [B, H, S, ...] leaf shards batch->dp
-    and heads->tp, with axes the dim can't split over dropped (e.g. GQA
-    caches with fewer KV heads than TP ranks stay replicated across tp)."""
+def _cache_shardings(cache, mesh, cache_specs=None):
+    """NamedSharding tree for KV slots on `mesh`: any [B, H, S, ...] leaf
+    shards batch->dp and heads->tp, with axes the dim can't split over
+    dropped (e.g. GQA caches with fewer KV heads than TP ranks stay
+    replicated across tp)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axes = set(mesh.axis_names)
@@ -58,16 +59,40 @@ def _place_cache_on_mesh(cache, mesh, cache_specs=None):
     if cache_specs is None:
         cache_specs = jax.tree_util.tree_map(default_cache_spec, cache)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        cache, cache_specs, is_leaf=lambda x: isinstance(x, P) or not
+        lambda x, s: NamedSharding(mesh, s), cache, cache_specs,
+        is_leaf=lambda x: isinstance(x, P) or not
         isinstance(x, (dict, list, tuple)))
+
+
+def _place_cache_on_mesh(cache, mesh, cache_specs=None):
+    """Commit KV slots to `mesh` (see _cache_shardings)."""
+    return jax.tree_util.tree_map(jax.device_put, cache,
+                                  _cache_shardings(cache, mesh,
+                                                   cache_specs))
+
+
+def _prune_spec(spec, mesh):
+    """Drop axis names the mesh doesn't have (e.g. Megatron 'tp' specs on
+    a dp-only cross-host mesh -> replicated on that dim)."""
+    from jax.sharding import PartitionSpec as P
+
+    def keep(a):
+        if a is None:
+            return None
+        if isinstance(a, (tuple, list)):
+            kept = tuple(x for x in a if x in mesh.axis_names)
+            return kept or None
+        return a if a in mesh.axis_names else None
+
+    return P(*[keep(a) for a in spec])
 
 
 def _place_on_mesh(params, cache, cfg, mesh, param_specs=None,
                    cache_specs=None):
     """Commit params and KV slots to `mesh`. Defaults: Llama-family
-    Megatron TP specs for params (parallel/llama_sharding.py); cache
-    placement per _place_cache_on_mesh."""
+    Megatron TP specs for params (parallel/llama_sharding.py), with axes
+    the mesh lacks pruned to replicated; cache placement per
+    _place_cache_on_mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if param_specs is None:
@@ -78,8 +103,9 @@ def _place_on_mesh(params, cache, cfg, mesh, param_specs=None,
     flat_s, _ = jax.tree_util.tree_flatten(
         param_specs, is_leaf=lambda x: isinstance(x, P))
     params = jax.tree_util.tree_unflatten(
-        treedef, [jax.device_put(x, NamedSharding(mesh, s))
-                  for x, s in zip(flat_p, flat_s)])
+        treedef, [jax.device_put(x, NamedSharding(
+            mesh, _prune_spec(s, mesh)))
+            for x, s in zip(flat_p, flat_s)])
     cache = _place_cache_on_mesh(cache, mesh, cache_specs)
     return params, cache
 
@@ -130,6 +156,23 @@ class ServingEngine:
                 self.params, self.cache, cfg, mesh, param_specs, cache_specs)
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= cfg.max_seq) or (cfg.max_seq,)
+        # multi-host SPMD serving: when the mesh spans >1 process, every
+        # host runs this same engine loop on identical host state; device
+        # outputs the host logic reads (tokens) are compiled to REPLICATED
+        # layout so each process can fetch them locally, and host inputs
+        # are device_put replicated. This is BASELINE config 5's
+        # cross-host continuous batching (dp = the cross-host axis).
+        self._multihost = mesh is not None and len(
+            {d.process_index for d in mesh.devices.flat}) > 1
+        self._rep = None
+        self._kv_sh = None
+        if self._multihost:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._rep = NamedSharding(mesh, P())
+            self._kv_sh = _cache_shardings(self.cache, mesh, cache_specs)
+            if spec_decode:
+                raise ValueError(
+                    "spec_decode is not supported on a multi-process mesh")
 
         self.pending: deque[Request] = deque()
         self.slots: list[Optional[Request]] = [None] * max_slots
@@ -147,7 +190,9 @@ class ServingEngine:
             lambda p, t, ps, c: (lambda lg, cc: (
                 jnp.argmax(lg, axis=-1).astype(jnp.int32), cc))(
                     *decode_fn(p, cfg, t, ps, c)),
-            donate_argnums=3)
+            donate_argnums=3,
+            out_shardings=(self._rep, self._kv_sh)
+            if self._multihost else None)
         # fused N-step greedy decode: one executable launch per chunk
         # amortizes dispatch latency (see models/llama.py
         # llama_decode_multi); sequences finishing mid-chunk are truncated
@@ -164,7 +209,10 @@ class ServingEngine:
                 body, (t, ps, c), length=self.decode_chunk)
             return jnp.moveaxis(toks, 0, 1), tok, pp, cc
 
-        self._decode_multi = jax.jit(_multi, donate_argnums=3)
+        self._decode_multi = jax.jit(
+            _multi, donate_argnums=3,
+            out_shardings=(self._rep, self._rep, self._rep, self._kv_sh)
+            if self._multihost else None)
 
         # speculative continuous batching: one fused K-token verify per
         # engine step (serving/speculative.py semantics, per slot); emitted
@@ -224,6 +272,15 @@ class ServingEngine:
         self.pending.append(req)
         return req
 
+    def _dev(self, x):
+        """Host value -> device array; replicated on a multi-process mesh
+        (every host feeds the identical value, so the global array is
+        consistent by construction)."""
+        x = jnp.asarray(x)
+        if self._multihost:
+            return jax.device_put(x, self._rep)
+        return x
+
     def _bucket(self, n: int) -> int:
         for b in self.prefill_buckets:
             if n <= b:
@@ -241,7 +298,10 @@ class ServingEngine:
         cfg, prefill_fn, init_cache = self.cfg, self._prefill_fn, \
             self._init_cache
 
-        @functools.partial(jax.jit, donate_argnums=2)
+        @functools.partial(
+            jax.jit, donate_argnums=2,
+            out_shardings=(self._rep, self._kv_sh)
+            if self._multihost else None)
         def f(params, toks, cache, slot, plen):
             pcache = init_cache(cfg, 1, max_seq=bucket,
                                 dtype=cache["k"][0].dtype)
@@ -263,8 +323,8 @@ class ServingEngine:
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :S] = req.prompt
             first, self.cache = self._prefill_slot_fn(bucket)(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.int32(slot), jnp.int32(S))
+                self.params, self._dev(toks), self.cache,
+                self._dev(jnp.int32(slot)), self._dev(jnp.int32(S)))
             first = int(first)
             req.generated.append(first)
             self.slots[slot] = req
@@ -454,8 +514,8 @@ class ServingEngine:
                 int(self.pos[active].max()) + 2 * self.spec_decode < \
                 self.cfg.max_seq:
             return self._spec_step(active)
-        token = jnp.asarray(self.last_token)
-        pos = jnp.asarray(self.pos)
+        token = self._dev(self.last_token)
+        pos = self._dev(self.pos)
         chunk = self.decode_chunk
         if chunk > 1 and int(self.pos[active].max()) + chunk + 1 < \
                 self.cfg.max_seq:

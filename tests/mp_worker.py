@@ -83,6 +83,34 @@ def main():
     np.testing.assert_allclose(mine, want, rtol=1e-4, atol=1e-4)
     print(f"MP_OK rank={rank}", flush=True)
 
+    # ---- phase 2: CROSS-PROCESS CONTINUOUS BATCHING (BASELINE config 5:
+    # cross-host continuous batching; dp = the cross-host axis). Every
+    # process runs the identical engine loop; token outputs compile to
+    # replicated layout so each host fetches them locally. Tokens must
+    # match a mesh-free local engine exactly.
+    from infinitensor_tpu.serving.engine import ServingEngine
+
+    prompts = [[3, 5, 7], [11, 13]]
+    local_params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    ref_eng = ServingEngine(local_params, cfg, max_slots=2,
+                            prefill_buckets=(8,))
+    want_toks = []
+    for i, p in enumerate(prompts):
+        want_toks.append(ref_eng.submit(p, max_new_tokens=4, uid=50 + i))
+    ref_eng.run_to_completion()
+    want_toks = [list(r.generated) for r in want_toks]
+
+    eng = ServingEngine(local_params, cfg, max_slots=2,
+                        prefill_buckets=(8,), mesh=mesh)
+    assert eng._multihost, "mesh spans 2 processes; engine must detect it"
+    got = []
+    for i, p in enumerate(prompts):
+        got.append(eng.submit(p, max_new_tokens=4, uid=50 + i))
+    eng.run_to_completion()
+    got = [list(r.generated) for r in got]
+    assert got == want_toks, (got, want_toks)
+    print(f"MP_SERVE_OK rank={rank} tokens={got}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -42,3 +42,4 @@ def test_two_process_dp_decode():
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
     for r, out in enumerate(outs):
         assert f"MP_OK rank={r}" in out, out
+        assert f"MP_SERVE_OK rank={r}" in out, out
