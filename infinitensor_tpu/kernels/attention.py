@@ -166,7 +166,12 @@ def decode_attention(k_cache, v_cache, q, k, v, pos):
 def _resolve_hb(head_block: int, Hkv: int) -> int:
     import os
     if head_block == 0:
-        head_block = int(os.environ.get("INFINITPU_FLASH_HB", "8"))
+        # Measured on v5e (docs/DECODE_BUDGET.json flash sweep): hb=1 at
+        # seq_block=2048 streams 664 GB/s; every head-blocked / smaller-
+        # block combination is SLOWER (blk512:hb8 498, blk256:hb32 370) —
+        # the per-(head, block) DMA must stay large, and the one-head grid
+        # pipelines fine. Default stays 1; the knob remains for tuning.
+        head_block = int(os.environ.get("INFINITPU_FLASH_HB", "1"))
     head_block = max(1, min(head_block, Hkv))
     while Hkv % head_block:
         head_block -= 1
@@ -175,7 +180,7 @@ def _resolve_hb(head_block: int, Hkv: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("seq_block", "interpret", "head_block"))
-def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 512,
+def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
                  interpret: bool = False, head_block: int = 0):
     """q [B, H, 1, D], caches [B, Hkv, S, D] (already appended), pos [B].
     Returns [B, H, 1, D]. H must be a multiple of Hkv (GQA).
@@ -345,7 +350,7 @@ def _flash_decode_q8_hb_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref,
 
 
 def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
-                    seq_block: int = 512, interpret: bool = False,
+                    seq_block: int = 2048, interpret: bool = False,
                     head_block: int = 0):
     """INT8-KV flash decode. q [B, H, 1, D]; caches int8 [B, Hkv, S, D]
     (already appended); scales f32 [B, Hkv, S]; pos [B]. Returns

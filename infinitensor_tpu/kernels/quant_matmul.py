@@ -19,6 +19,7 @@ jnp reference: quant_matmul_ref (oracle on CPU).
 from __future__ import annotations
 
 import functools
+import json
 import math
 import os
 from typing import Optional
@@ -143,6 +144,28 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
+_TUNE_DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "..", "docs", "qmm_tune.json")
+
+
+@functools.lru_cache(maxsize=8)
+def _load_tune(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _tuned(din: int, dout: int, bits: int):
+    """On-chip-tuned (block_out, variant) for a weight shape — the
+    PerfEngine-style persisted tuning the reference keeps per workload
+    (reference include/core/perf_engine.h:8-51); docs/qmm_tune.json is
+    written by tools/qmm_tune.py. Resolved at trace time."""
+    path = os.environ.get("INFINITPU_QMM_TUNE", _TUNE_DEFAULT)
+    return _load_tune(path).get(f"{din}:{dout}:{bits}")
+
+
 def _pick_chunk(rows: int, group: int, bits: int) -> int:
     """Chunk: multiple of the scale group dividing `rows` (STORED rows of
     the qweight tile: din for int8, din//2 packed for int4), sized so the
@@ -172,8 +195,6 @@ def _pick_bn(dout: int, din: int, bits: int) -> int:
     return best
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("eps", "block_out", "interpret"))
 def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
                       block_out: int = 0, interpret: bool = False):
     """RMSNorm(x) * norm_w @ q, the norm fused into the matmul kernel
@@ -202,6 +223,9 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
         x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
 
     pack = 1 if q.bits == 8 else 2
+    tuned = _tuned(din, dout, q.bits)
+    if tuned and not block_out:
+        block_out = int(tuned.get("bn", 0))
     bn = block_out or _pick_bn(dout, din, q.bits)
     ng = q.scales.shape[0]
     group_ok = (din // pack) % q.group_size == 0 and \
@@ -228,8 +252,6 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
     return out[:rows].reshape(*lead, dout)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("block_out", "interpret", "variant"))
 def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
                  interpret: bool = False, variant: Optional[str] = None):
     """x [..., din] @ q -> [..., dout].
@@ -241,6 +263,10 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     if not use_pallas(interpret):
         return quant_matmul_ref(x, q)
     interpret = interpret or (pallas_interpret() and not is_tpu())
+    tuned = _tuned(x.shape[-1], q.out_features, q.bits)
+    if tuned:
+        block_out = block_out or int(tuned.get("bn", 0))
+        variant = variant or tuned.get("variant")
     variant = variant or os.environ.get("INFINITPU_QMM_VARIANT", "group")
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

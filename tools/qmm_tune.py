@@ -1,0 +1,176 @@
+"""On-chip tuner for the dequant-matmul kernel (block_out x variant per
+weight shape) — the reference's cublas 24-algo tune loop recast for the
+TPU kernel (reference src/kernels/cuda/matmul.cc:25-187 + PerfEngine JSON
+persistence, perf_engine.cc:7-22).
+
+Sweeps each 7B decode shape over output-tile sizes and both dequant
+variants with the honest chained two-point protocol, writes the winners
+to docs/qmm_tune.json (read by kernels/quant_matmul.py at trace time),
+then re-measures the full decode step and the HBM calibration with the
+table active. Writes docs/QMM_TUNE_REPORT.json.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+TABLE = os.path.join(_ROOT, "docs", "qmm_tune.json")
+REPORT = os.path.join(_ROOT, "docs", "QMM_TUNE_REPORT.json")
+
+
+def divisor_bns(dout: int, lo=128, hi=4096):
+    out = []
+    b = 128
+    while b <= min(hi, dout):
+        if dout % b == 0:
+            out.append(b)
+        b += 128
+    return out
+
+
+def main():
+    def heartbeat():
+        n = 0
+        while True:
+            time.sleep(120)
+            n += 1
+            print(f"# heartbeat {n}", flush=True)
+
+    threading.Thread(target=heartbeat, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bench import build_quant_params, measure_hbm_bw
+    from infinitensor_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, llama_decode_multi)
+    from infinitensor_tpu.kernels import quant_matmul as qm
+
+    np.asarray(jnp.zeros((1,)))
+    print(f"# device ready: {jax.devices()[0]}", flush=True)
+    cfg = LlamaConfig(max_seq=2048)
+    t0 = time.time()
+    params = build_quant_params(cfg, jax.random.PRNGKey(0))
+    params = jax.block_until_ready(params)
+    print(f"# params built in {time.time()-t0:.1f}s", flush=True)
+
+    N_LO, N_HI = 1, 9
+
+    def two_point(chain, tag, *data):
+        f = jax.jit(chain)
+        np.asarray(f(jnp.float32(0), jnp.int32(N_LO), *data))
+        best = {}
+        for n in (N_LO, N_HI):
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f(jnp.float32(1e-30), jnp.int32(n), *data))
+                b = min(b, time.perf_counter() - t0)
+            best[n] = b
+        dt = (best[N_HI] - best[N_LO]) / (N_HI - N_LO)
+        print(f"#   {tag}: {dt*1e3:.3f} ms/pass", flush=True)
+        return dt
+
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    shapes = {
+        "wqkv": (cfg.dim, cfg.dim + 2 * kvd),
+        "wo": (cfg.dim, cfg.dim),
+        "w_gateup": (cfg.dim, 2 * cfg.intermediate),
+        "w_down": (cfg.intermediate, cfg.dim),
+    }
+    bits = int(os.environ.get("BENCH_BITS", "4"))
+    report = {"per_shape": {}}
+    table = {}
+
+    def sweep(name, din, dout, qls):
+        wbytes = sum(int(q.qweight.size) + int(q.scales.size)
+                     * q.scales.dtype.itemsize for q in qls)
+        x0 = jnp.ones((1, din), jnp.bfloat16)
+        cands = []
+        for bn in divisor_bns(dout):
+            tile_mb = (din // (2 if bits == 4 else 1)) * bn / 1e6
+            grid = dout // bn
+            if tile_mb > 6.0 or (tile_mb < 0.2 and grid > 64):
+                continue
+            cands.append(("group", bn))
+        cands.append(("chunk", 0))      # current default chunk config
+        rows = {}
+        best = None
+        for variant, bn in cands:
+            def chain(seed, n, qls, x0, variant=variant, bn=bn):
+                def body(i, acc):
+                    a = acc
+                    for q in qls:
+                        x = x0 + a.astype(jnp.bfloat16)
+                        out = qm.quant_matmul(x, q, block_out=bn,
+                                              variant=variant)
+                        a = jnp.mean(out).astype(jnp.float32) * 1e-30
+                    return a
+                return jax.lax.fori_loop(0, n, body, seed)
+            dt = two_point(chain, f"{name}:{variant}:bn{bn}", qls, x0)
+            rows[f"{variant}:bn{bn}"] = {
+                "ms": round(dt * 1e3, 4),
+                "gbps": round(wbytes / dt / 1e9, 1)}
+            if best is None or dt < best[0]:
+                best = (dt, variant, bn)
+        report["per_shape"][name] = rows
+        _, variant, bn = best
+        table[f"{din}:{dout}:{bits}"] = {"bn": bn, "variant": variant}
+        with open(REPORT, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"# {name} best: {variant} bn={bn}", flush=True)
+
+    for name, (din, dout) in shapes.items():
+        qls = [layer[name] for layer in params["layers"]]
+        sweep(name, din, dout, qls)
+    sweep("lm_head", cfg.dim, cfg.vocab_size, [params["lm_head"]] * 4)
+
+    with open(TABLE, "w") as f:
+        json.dump(table, f, indent=1)
+    qm._load_tune.cache_clear()
+    print(f"# table written: {json.dumps(table)}", flush=True)
+
+    # ---- decode step with the table active ------------------------------
+    cache = init_kv_cache(cfg, 1, kv_quant=True)
+    cache = jax.block_until_ready(cache)
+    tok = jnp.zeros((1,), jnp.int32)
+    p0 = jnp.full((1,), 1024, jnp.int32)
+    times = {}
+    for n in (8, 40):
+        f = jax.jit(lambda prm, t, ps, c, n=n: llama_decode_multi(
+            prm, cfg, t, ps, c, n)[0])
+        np.asarray(f(params, tok, p0, cache))
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(params, tok, p0, cache)
+            np.asarray(out)
+            b = min(b, time.perf_counter() - t0)
+        times[n] = b
+        print(f"# decode scan n={n}: {b*1e3:.2f} ms", flush=True)
+    per_step = (times[40] - times[8]) / 32
+    hbm = measure_hbm_bw(params, cfg, 1)
+    report["tuned_decode"] = {
+        "per_step_ms": round(per_step * 1e3, 4),
+        "tok_s": round(1.0 / per_step, 2),
+        "hbm_gbps_tuned_calibration": round(hbm / 1e9, 1),
+    }
+    with open(REPORT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"metric": "qmm tune", **report["tuned_decode"]}))
+
+
+if __name__ == "__main__":
+    if (os.environ.get("BENCH_WATCHDOG", "1") == "1"
+            and not os.environ.get("BENCH_CHILD")):
+        from infinitensor_tpu.utils.watchdog import babysit
+        sys.exit(babysit(
+            [sys.executable, os.path.abspath(__file__)],
+            quiet_s=600.0, gap_s=420.0, attempts=2,
+            env=dict(os.environ, BENCH_CHILD="1")))
+    main()
