@@ -35,6 +35,11 @@ def build_quant_params(cfg, key):
 
     bits = int(os.environ.get("BENCH_BITS", "4"))
 
+    # int4 scales ride in bf16: measured 6.4% faster wqkv pass + half
+    # the scale bytes (docs/DECODE_BUDGET.json wqkv_bf16_scales); the
+    # trained accuracy gate covers bf16-scale quantization
+    sdt = jnp.bfloat16 if bits == 4 else jnp.float32
+
     def qlin_stack(k, din, dout, bits=bits, group=128):
         while din % group:
             group //= 2
@@ -42,7 +47,7 @@ def build_quant_params(cfg, key):
         q = jax.random.randint(kq, (L, din if bits == 8 else din // 2, dout),
                                -127, 127, jnp.int8)
         scales = jax.random.uniform(ks, (L, din // group, dout), jnp.float32,
-                                    0.001, 0.02)
+                                    0.001, 0.02).astype(sdt)
         return [QuantizedLinear(q[i], scales[i], bits, group)
                 for i in range(L)]
 
@@ -66,7 +71,7 @@ def build_quant_params(cfg, key):
         q = jax.random.randint(kq, (din if bits == 8 else din // 2, dout),
                                -127, 127, jnp.int8)
         scales = jax.random.uniform(ks, (din // group, dout), jnp.float32,
-                                    0.001, 0.02)
+                                    0.001, 0.02).astype(sdt)
         return QuantizedLinear(q, scales, bits, group)
 
     return {
@@ -97,7 +102,9 @@ def measure_hbm_bw(params, cfg, batch: int) -> float:
     qls = [layer[k] for layer in params["layers"]
            for k in ("wqkv", "wo", "w_gateup", "w_down")]
     qls.append(params["lm_head"])
-    total = sum(int(q.qweight.size) + int(q.scales.size) * 4 for q in qls)
+    total = sum(int(q.qweight.size)
+                + int(q.scales.size) * q.scales.dtype.itemsize
+                for q in qls)
     dins = {int(q.qweight.shape[0]) * (2 if q.bits == 4 else 1) for q in qls}
     xs = {d: jnp.ones((batch, d), jnp.bfloat16) for d in dins}
 
@@ -126,21 +133,24 @@ def measure_hbm_bw(params, cfg, batch: int) -> float:
     # measured stream rate by ~40%.
     import numpy as np
 
+    # ONE executable with a runtime trip count (a per-n jit would compile
+    # twice), and a LONG high point: with n_hi=13 the two-point diff is
+    # ~12 passes (~65 ms of signal) — a 4-pass diff read 194.9 GB/s on a
+    # jittery tunnel window while the same session's kernels streamed
+    # 440-570 (docs/DECODE_BUDGET.json), an incoherent roofline.
+    f = jax.jit(lambda s, n, p: jax.lax.fori_loop(
+        0, n, lambda i, a: sweep(a, p, 1), s))
+    np.asarray(f(jnp.float32(0), jnp.int32(1), params))
+
     def run_n(n):
-        f = jax.jit(lambda s, p: sweep(s, p, n))
-        np.asarray(f(jnp.float32(0), params))
-        # min-of-3: tunnel round-trip latency is variable enough that one
-        # slow sample skews the two-point subtraction (observed: a single
-        # noisy run_n(5) read the stream at 435 GB/s while the decode loop
-        # itself achieved 472 GB/s effective — an incoherent roofline)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f(jnp.float32(1e-30), params))
+            np.asarray(f(jnp.float32(1e-30), jnp.int32(n), params))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt = (run_n(5) - run_n(1)) / 4
+    dt = (run_n(13) - run_n(1)) / 12
     return total / dt  # bytes/s
 
 
@@ -149,9 +159,10 @@ def weight_bytes_per_token(cfg, bits=8, group=128):
     per_layer = (cfg.dim * cfg.dim * 2 + cfg.dim * kvd * 2
                  + cfg.dim * cfg.intermediate * 3)
     total = per_layer * cfg.n_layers + cfg.dim * cfg.vocab_size
-    # weight stream + per-group fp32 scales (same accounting as the
-    # measure_hbm_bw calibrator, which also reads its scales)
-    return total * bits / 8 + total / group * 4
+    # weight stream + per-group scales (bf16 at int4, f32 at int8 — same
+    # accounting as the measure_hbm_bw calibrator, which reads them too)
+    scale_bytes = 2 if bits == 4 else 4
+    return total * bits / 8 + total / group * scale_bytes
 
 
 def run_serving_bench():

@@ -61,19 +61,22 @@ def main():
 
     N_LO, N_HI = 1, 9
 
-    def two_point(chain, tag, *data):
+    def two_point(chain, tag, *data, n_hi=None):
+        n_hi = n_hi or N_HI
         f = jax.jit(chain)
         np.asarray(f(jnp.float32(0), jnp.int32(N_LO), *data))
         best = {}
-        for n in (N_LO, N_HI):
+        for n in (N_LO, n_hi):
             b = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 np.asarray(f(jnp.float32(1e-30), jnp.int32(n), *data))
                 b = min(b, time.perf_counter() - t0)
             best[n] = b
-        dt = (best[N_HI] - best[N_LO]) / (N_HI - N_LO)
-        print(f"#   {tag}: {dt*1e3:.3f} ms/pass", flush=True)
+        dt = (best[n_hi] - best[N_LO]) / (n_hi - N_LO)
+        if dt <= 0:
+            dt = float("inf")       # noise swamped the diff: reject
+        print(f"#   {tag}: {dt*1e3:.3f} ms/pass (n_hi={n_hi})", flush=True)
         return dt
 
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -87,18 +90,32 @@ def main():
     report = {"per_shape": {}}
     table = {}
 
+    refine = json.load(open(os.environ["QMM_REFINE"])) \
+        if os.environ.get("QMM_REFINE") else None
+
     def sweep(name, din, dout, qls):
         wbytes = sum(int(q.qweight.size) + int(q.scales.size)
                      * q.scales.dtype.itemsize for q in qls)
         x0 = jnp.ones((1, din), jnp.bfloat16)
-        cands = []
-        for bn in divisor_bns(dout):
-            tile_mb = (din // (2 if bits == 4 else 1)) * bn / 1e6
-            grid = dout // bn
-            if tile_mb > 6.0 or (tile_mb < 0.2 and grid > 64):
-                continue
-            cands.append(("group", bn))
-        cands.append(("chunk", 0))      # current default chunk config
+        if refine is not None:
+            # refine mode: top-3 of a prior sweep, much longer chains
+            # (noise at the 0.4ms/pass shapes swamped a 9-pass diff)
+            prior = refine["per_shape"][name]
+            ranked = sorted((v["ms"], k) for k, v in prior.items()
+                            if v["ms"] > 0)
+            cands = []
+            for _, k in ranked[:3]:
+                variant, bn = k.split(":bn")
+                cands.append((variant, int(bn)))
+        else:
+            cands = []
+            for bn in divisor_bns(dout):
+                tile_mb = (din // (2 if bits == 4 else 1)) * bn / 1e6
+                grid = dout // bn
+                if tile_mb > 6.0 or (tile_mb < 0.2 and grid > 64):
+                    continue
+                cands.append(("group", bn))
+            cands.append(("chunk", 0))      # current default chunk config
         rows = {}
         best = None
         for variant, bn in cands:
@@ -112,7 +129,9 @@ def main():
                         a = jnp.mean(out).astype(jnp.float32) * 1e-30
                     return a
                 return jax.lax.fori_loop(0, n, body, seed)
-            dt = two_point(chain, f"{name}:{variant}:bn{bn}", qls, x0)
+            n_hi = (49 if refine is not None else None)
+            dt = two_point(chain, f"{name}:{variant}:bn{bn}", qls, x0,
+                           n_hi=n_hi)
             rows[f"{variant}:bn{bn}"] = {
                 "ms": round(dt * 1e3, 4),
                 "gbps": round(wbytes / dt / 1e9, 1)}
