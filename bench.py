@@ -201,7 +201,18 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     seq_ctx = int(os.environ.get("BENCH_CTX", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "32"))
-    cfg = LlamaConfig(max_seq=2048)  # llama-2-7b geometry
+    # Cache capacity = declared workload (ctx + decoded steps, padded to
+    # 128), not a fixed 2048: the flash kernel reads the whole static
+    # cache per step (seq_block covers it), so dead padding rows are pure
+    # HBM waste — 0.42 ms/step at ctx=1024 in a 2048 cache
+    # (docs/DECODE_BUDGET.json). Serving sizes caches the same way
+    # (prefill buckets / paged pools); BENCH_MAXSEQ overrides.
+    multi_env = int(os.environ.get("BENCH_MULTI", "128"))
+    need = seq_ctx + max(steps, multi_env * max(
+        4, steps // max(multi_env, 1))) + 2
+    max_seq = int(os.environ.get("BENCH_MAXSEQ",
+                                 (need + 127) // 128 * 128))
+    cfg = LlamaConfig(max_seq=max_seq)  # llama-2-7b geometry
     if os.environ.get("BENCH_SMALL"):
         cfg = LlamaConfig(vocab_size=2048, dim=512, n_layers=4, n_heads=8,
                           n_kv_heads=8, intermediate=1376, max_seq=256)
@@ -244,11 +255,17 @@ def main():
               flush=True)
         outer = max(4, steps // multi)
         # variance discipline (round-2 verdict): repeat the whole timed
-        # region in-process; each region keeps launches async (dispatch
-        # overlapped) and ends with a host fetch; report every sample
+        # region in-process with FRESH state (cache re-init, pos reset to
+        # ctx so every rep measures the same fill range); launches within
+        # a region stay async and it ends with a host fetch
         reps = int(os.environ.get("BENCH_REPS", "2"))
         samples = []
-        for _ in range(max(1, reps)):
+        for r in range(max(1, reps)):
+            # fresh state every rep (incl. after the warmup launch)
+            cache = init_kv_cache(cfg, batch, kv_quant=kv_quant)
+            cache = jax.block_until_ready(cache)
+            token = jnp.zeros((batch,), jnp.int32)
+            pos = jnp.full((batch,), seq_ctx, jnp.int32)
             t0 = time.time()
             for i in range(outer):
                 toks, token, pos, cache = step(params, token, pos, cache)
