@@ -149,11 +149,13 @@ def main():
             n += 1
             print(f"# heartbeat {n}")
 
-    threading.Thread(target=heartbeat, daemon=True).start()
     import jax
     import numpy as np
     np.asarray(jax.numpy.zeros((1,)))
     print(f"# device ready: {jax.devices()[0]}")
+    # heartbeats AFTER the claim: during the claim, silence is the
+    # watchdog's only wedge signal
+    threading.Thread(target=heartbeat, daemon=True).start()
     only = os.environ.get("ARTIFACT_ONLY")
     stages = [s_vision, s_bert, s_rw_qkv, s_rw_inc, s_graph_llama, s_gate]
     for s in stages:

@@ -48,7 +48,6 @@ def main():
             n += 1
             print(f"# heartbeat {n}", flush=True)
 
-    threading.Thread(target=heartbeat, daemon=True).start()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,6 +61,9 @@ def main():
     np.asarray(jnp.zeros((1,)))
     print(f"# device ready: {getattr(dev, 'device_kind', dev.platform)}",
           flush=True)
+    # heartbeats AFTER the claim: during the claim, silence is the
+    # watchdog's only wedge signal
+    threading.Thread(target=heartbeat, daemon=True).start()
 
     cfg = LlamaConfig(max_seq=2048)
     if os.environ.get("PROFILE_SMALL"):

@@ -42,7 +42,6 @@ def main():
             n += 1
             print(f"# heartbeat {n}", flush=True)
 
-    threading.Thread(target=heartbeat, daemon=True).start()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,6 +52,7 @@ def main():
 
     np.asarray(jnp.zeros((1,)))
     print(f"# device ready: {jax.devices()[0]}", flush=True)
+    threading.Thread(target=heartbeat, daemon=True).start()
     cfg = LlamaConfig(max_seq=2048)
     t0 = time.time()
     params = build_quant_params(cfg, jax.random.PRNGKey(0))
