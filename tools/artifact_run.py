@@ -159,7 +159,8 @@ def main():
     only = os.environ.get("ARTIFACT_ONLY")
     stages = [s_vision, s_bert, s_rw_qkv, s_rw_inc, s_graph_llama, s_gate]
     for s in stages:
-        if only and only not in s.__name__:
+        if only and not any(tok and tok in s.__name__
+                            for tok in only.split(",")):
             continue
         s()
     print(json.dumps({"metric": "artifact session", "status": STATUS}))

@@ -53,40 +53,49 @@ def build_graph(layers: int, batch: int, dim: int):
 
 
 def timed_exec(ex, graph, feed, n: int) -> float:
-    """Per-iteration seconds via the chained two-point host-fetch protocol
-    (docs/BENCH_NOTES.md): iterations are DATA-DEPENDENT — each run's
-    output feeds the next run's input (the workload is shape-preserving),
-    so the closing np.asarray() provably waits for the whole chain; the
-    n vs 2n two-point cancels per-launch tunnel overhead."""
+    """Per-iteration seconds with ALL iterations fused into ONE
+    executable (ex.as_jax_fn + fori_loop with a threaded scalar data
+    dependence): per-run launches through the tunnel cost ~25 ms and a
+    host-side feed re-upload more — both dwarf a sub-ms graph, so a
+    launch-per-iteration protocol measures the tunnel, not the graph
+    (observed: 'optimized 0.5x' artifacts that were pure transfer noise).
+    Two-point (n_hi vs 1) + min-of-3 + closing host fetch as everywhere
+    else (docs/BENCH_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
     in_name = graph.inputs()[0].name
     out_name = graph.outputs()[0].name
-    chained = tuple(graph.inputs()[0].shape) == \
-        tuple(graph.outputs()[0].shape)
+    fn, (ex_inputs, weights) = ex.as_jax_fn()
+    inputs = {k: jnp.asarray(v) for k, v in feed.items()}
+    for k, v in ex_inputs.items():
+        inputs.setdefault(k, v)
+    in_dt = inputs[in_name].dtype
 
-    def region(k: int) -> float:
-        cur = dict(feed)
-        t0 = time.perf_counter()
-        if chained:                      # output feeds next input
-            for _ in range(k):
-                cur = {in_name: ex.run(cur)[out_name]}
-            np.asarray(cur[in_name])               # forces the full chain
-        else:
-            # non-shape-preserving (e.g. image -> logits): launches stay
-            # async (device executes them in order); the closing fetch of
-            # the LAST output waits for the whole region
-            out = None
-            for _ in range(k):
-                out = ex.run(cur)[out_name]
-            np.asarray(out)
-        return time.perf_counter() - t0
+    # device arrays enter via ARGUMENTS — closure-captured arrays become
+    # HLO constants and blow up remote compiles (memory: jit-closure-
+    # constants)
+    def chain(seed, k, inputs, weights):
+        def body(i, acc):
+            inp = dict(inputs)
+            inp[in_name] = inputs[in_name] + acc.astype(in_dt)
+            out = fn(inp, weights)[out_name]
+            return jnp.mean(out.astype(jnp.float32)) * 1e-30
+        return jax.lax.fori_loop(0, k, body, seed)
 
-    region(2)                                      # warm the chained path
-    deltas = []
-    for _ in range(2):
-        t_n = region(n)
-        t_2n = region(2 * n)
-        deltas.append((t_2n - t_n) / n)
-    return float(np.median(deltas))
+    f = jax.jit(chain)
+    np.asarray(f(jnp.float32(0), jnp.int32(1), inputs, weights))
+
+    def best_of(k, reps=3):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.float32(1e-30), jnp.int32(k), inputs,
+                         weights))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return max((best_of(n) - best_of(1)) / (n - 1), 1e-9)
 
 
 def build_inception(batch: int):
