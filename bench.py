@@ -40,20 +40,26 @@ def build_quant_params(cfg, key):
     # trained accuracy gate covers bf16-scale quantization
     sdt = jnp.bfloat16 if bits == 4 else jnp.float32
 
-    def qlin_stack(k, din, dout, bits=bits, group=128):
+    def qlin_stack(k, din, dout, bits=bits, group=128, pad_to=0):
         while din % group:
             group //= 2
         kq, ks = jax.random.split(k)
+        logical = 0
+        if pad_to and dout % pad_to:
+            # tile-friendly physical columns (quant/weight_only.py
+            # out_logical): 22016 has no 128-multiple divisor above 512
+            logical, dout = dout, dout + pad_to - dout % pad_to
         q = jax.random.randint(kq, (L, din if bits == 8 else din // 2, dout),
                                -127, 127, jnp.int8)
         scales = jax.random.uniform(ks, (L, din // group, dout), jnp.float32,
                                     0.001, 0.02).astype(sdt)
-        return [QuantizedLinear(q[i], scales[i], bits, group)
+        return [QuantizedLinear(q[i], scales[i], bits, group, logical)
                 for i in range(L)]
 
     wqkv = qlin_stack(k1, cfg.dim, cfg.dim + 2 * kvd)
     wo = qlin_stack(k2, cfg.dim, cfg.dim)
-    wgu = qlin_stack(k3, cfg.dim, 2 * cfg.intermediate)
+    wgu = qlin_stack(k3, cfg.dim, 2 * cfg.intermediate,
+                     pad_to=2048)
     wdn = qlin_stack(k4, cfg.intermediate, cfg.dim)
     layers = [{
         "attn_norm": jnp.ones((cfg.dim,), cfg.dtype),

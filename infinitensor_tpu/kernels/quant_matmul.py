@@ -213,7 +213,7 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
     import jax.experimental.pallas as pl
 
     *lead, din = x.shape
-    dout = q.out_features
+    dout = q.out_physical
     rows = 1
     for d in lead:
         rows *= d
@@ -223,9 +223,11 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
         x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
 
     pack = 1 if q.bits == 8 else 2
-    tuned = _tuned(din, dout, q.bits)
+    tuned = _tuned(din, q.out_features, q.bits)
     if tuned and not block_out:
         block_out = int(tuned.get("bn", 0))
+    if block_out and dout % block_out:
+        block_out = 0               # tuned bn from a different padding
     bn = block_out or _pick_bn(dout, din, q.bits)
     ng = q.scales.shape[0]
     group_ok = (din // pack) % q.group_size == 0 and \
@@ -249,7 +251,8 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
         out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
         interpret=interpret,
     )(x2, nw2, q.qweight, q.scales)
-    return out[:rows].reshape(*lead, dout)
+    out = out[:rows, :q.out_features]
+    return out.reshape(*lead, q.out_features)
 
 
 def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
@@ -267,12 +270,14 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     if tuned:
         block_out = block_out or int(tuned.get("bn", 0))
         variant = variant or tuned.get("variant")
+    if block_out and q.out_physical % block_out:
+        block_out = 0               # tuned bn from a different padding
     variant = variant or os.environ.get("INFINITPU_QMM_VARIANT", "group")
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     *lead, din = x.shape
-    dout = q.out_features
+    dout = q.out_physical
     rows = 1
     for d in lead:
         rows *= d
@@ -310,4 +315,5 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
         out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
         interpret=interpret,
     )(x2, q.qweight, q.scales)
-    return out[:rows].reshape(*lead, dout)
+    out = out[:rows, :q.out_features]
+    return out.reshape(*lead, q.out_features)

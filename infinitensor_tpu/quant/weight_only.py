@@ -30,23 +30,31 @@ import numpy as np
 class QuantizedLinear:
     """Weight-only quantized [in, out] matrix.
 
-    qweight: int8 [in, out] (int8 mode) or packed int8 [in//2, out] (int4)
-    scales:  f32/bf16 [n_groups, out]
+    qweight: int8 [in, out_p] (int8 mode) or packed int8 [in//2, out_p]
+    scales:  f32/bf16 [n_groups, out_p]
     bits:    4 or 8
     group_size: contraction rows per scale group
+    out_logical: logical output dim when the PHYSICAL columns are padded
+        to a tile-friendly multiple (0 = unpadded). A dout like 22016 has
+        no 128-multiple divisor above 512; padding to 22528 unlocks the
+        1024/2048 output tiles the kernel streams fastest with
+        (docs/QMM_TUNE_REPORT.json). Matmul wrappers slice the result
+        back to out_features.
     """
 
     qweight: jax.Array
     scales: jax.Array
     bits: int
     group_size: int
+    out_logical: int = 0
 
     def tree_flatten(self):
-        return (self.qweight, self.scales), (self.bits, self.group_size)
+        return (self.qweight, self.scales), (self.bits, self.group_size,
+                                             self.out_logical)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], *aux)
 
     @property
     def in_features(self) -> int:
@@ -55,11 +63,15 @@ class QuantizedLinear:
 
     @property
     def out_features(self) -> int:
+        return self.out_logical or self.qweight.shape[-1]
+
+    @property
+    def out_physical(self) -> int:
         return self.qweight.shape[-1]
 
 
 def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
-                    clip: str = "auto") -> QuantizedLinear:
+                    clip: str = "auto", pad_out: int = 0) -> QuantizedLinear:
     """Symmetric per-group-per-channel quantization of [in, out] weight.
 
     clip: "none" = absmax scales (plain RTN); "mse" = per-group clip-ratio
@@ -69,6 +81,11 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
     """
     w = jnp.asarray(w)
     din, dout = w.shape
+    out_logical = 0
+    if pad_out and dout % pad_out:
+        pad = pad_out - dout % pad_out
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        out_logical, dout = dout, dout + pad
     if group_size is None:
         group_size = din  # per-channel only
     while din % group_size:  # snap to a divisor (e.g. 11008-like odd dims)
@@ -107,7 +124,8 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
         lo = q[:half].astype(jnp.uint8) & 0xF
         hi = (q[half:].astype(jnp.uint8) & 0xF) << 4
         q = (lo | hi).astype(jnp.int8)
-    return QuantizedLinear(q, scales.astype(jnp.float32), bits, group_size)
+    return QuantizedLinear(q, scales.astype(jnp.float32), bits, group_size,
+                           out_logical)
 
 
 def _unpack_nibbles(packed: jax.Array) -> tuple:
@@ -138,7 +156,8 @@ def dequantize_weight(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     ng = q.scales.shape[0]
     wf = w.reshape(ng, din // ng, dout).astype(dtype)
     wf = wf * q.scales[:, None, :].astype(dtype)
-    return wf.reshape(din, dout)
+    out = wf.reshape(din, dout)
+    return out[:, :q.out_logical] if q.out_logical else out
 
 
 def concat_qlinear(*qs: QuantizedLinear) -> QuantizedLinear:
@@ -147,7 +166,9 @@ def concat_qlinear(*qs: QuantizedLinear) -> QuantizedLinear:
     matching bits/group_size/in_features."""
     first = qs[0]
     assert all(q.bits == first.bits and q.group_size == first.group_size
-               and q.qweight.shape[0] == first.qweight.shape[0] for q in qs)
+               and q.qweight.shape[0] == first.qweight.shape[0]
+               and not q.out_logical for q in qs), \
+        "concat requires unpadded operands with matching quantization"
     return QuantizedLinear(
         jnp.concatenate([q.qweight for q in qs], axis=1),
         jnp.concatenate([q.scales for q in qs], axis=1),

@@ -97,6 +97,7 @@ def main():
         wbytes = sum(int(q.qweight.size) + int(q.scales.size)
                      * q.scales.dtype.itemsize for q in qls)
         x0 = jnp.ones((1, din), jnp.bfloat16)
+        dout_phys = qls[0].out_physical      # padded columns tile over
         if refine is not None:
             # refine mode: top-3 of a prior sweep, much longer chains
             # (noise at the 0.4ms/pass shapes swamped a 9-pass diff)
@@ -109,9 +110,9 @@ def main():
                 cands.append((variant, int(bn)))
         else:
             cands = []
-            for bn in divisor_bns(dout):
+            for bn in divisor_bns(dout_phys):
                 tile_mb = (din // (2 if bits == 4 else 1)) * bn / 1e6
-                grid = dout // bn
+                grid = dout_phys // bn
                 if tile_mb > 6.0 or (tile_mb < 0.2 and grid > 64):
                     continue
                 cands.append(("group", bn))
@@ -144,11 +145,19 @@ def main():
             json.dump(report, f, indent=1)
         print(f"# {name} best: {variant} bn={bn}", flush=True)
 
+    only = os.environ.get("QMM_ONLY")
     for name, (din, dout) in shapes.items():
+        if only and name not in only.split(","):
+            continue
         qls = [layer[name] for layer in params["layers"]]
         sweep(name, din, dout, qls)
-    sweep("lm_head", cfg.dim, cfg.vocab_size, [params["lm_head"]] * 4)
+    if not only or "lm_head" in only:
+        sweep("lm_head", cfg.dim, cfg.vocab_size, [params["lm_head"]] * 4)
 
+    if os.path.exists(TABLE):           # merge over the existing table
+        old = json.load(open(TABLE))
+        old.update(table)
+        table = old
     with open(TABLE, "w") as f:
         json.dump(table, f, indent=1)
     qm._load_tune.cache_clear()
