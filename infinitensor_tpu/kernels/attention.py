@@ -211,7 +211,12 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     rep = H // Hkv
     seq_block = min(seq_block, S)
     if S % seq_block:
-        seq_block = math.gcd(S, seq_block) or S
+        # largest divisor of S <= seq_block (gcd could collapse to 128 —
+        # e.g. S=2176 vs 2048 -> 128-row DMAs, ~5 ms/step regression)
+        k = -(-S // seq_block)
+        while S % k:
+            k += 1
+        seq_block = S // k
     hb = _resolve_hb(head_block, Hkv)
     grid = (B, Hkv // hb, S // seq_block)
 
@@ -380,7 +385,12 @@ def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
     rep = H // Hkv
     seq_block = min(seq_block, S)
     if S % seq_block:
-        seq_block = math.gcd(S, seq_block) or S
+        # largest divisor of S <= seq_block (gcd could collapse to 128 —
+        # e.g. S=2176 vs 2048 -> 128-row DMAs, ~5 ms/step regression)
+        k = -(-S // seq_block)
+        while S % k:
+            k += 1
+        seq_block = S // k
     hb = _resolve_hb(head_block, Hkv)
     grid = (B, Hkv // hb, S // seq_block)
 
