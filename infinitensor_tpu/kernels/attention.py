@@ -163,6 +163,25 @@ def decode_attention(k_cache, v_cache, q, k, v, pos):
 # Pallas flash-decode kernel
 # ---------------------------------------------------------------------------
 
+
+def _pick_seq_block(seq_block: int, S: int) -> int:
+    """Largest divisor of S that is <= seq_block AND a multiple of 128
+    (Mosaic block-shape rule for the [1, seq_block] scale rows). gcd
+    collapsed S=2176 vs 2048 to 128-row DMAs (~5 ms/step regression);
+    when only tiny divisors exist, one whole-S block wins (the sweep
+    shows big DMAs dominate elision, docs/DECODE_BUDGET.json)."""
+    seq_block = min(seq_block, S)
+    if S % seq_block == 0:
+        return seq_block
+    k = -(-S // seq_block)
+    while k <= S and (S % k or (S // k) % 128):
+        k += 1
+    cand = S // k if k <= S else (math.gcd(S, 128) or S)
+    if cand < 512 and S <= 4096:
+        return S                      # single big block beats tiny DMAs
+    return cand
+
+
 def _resolve_hb(head_block: int, Hkv: int) -> int:
     import os
     if head_block == 0:
@@ -209,14 +228,7 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     B, H, _, D = q.shape
     Bk, Hkv, S, Dk = k_cache.shape
     rep = H // Hkv
-    seq_block = min(seq_block, S)
-    if S % seq_block:
-        # largest divisor of S <= seq_block (gcd could collapse to 128 —
-        # e.g. S=2176 vs 2048 -> 128-row DMAs, ~5 ms/step regression)
-        k = -(-S // seq_block)
-        while S % k:
-            k += 1
-        seq_block = S // k
+    seq_block = _pick_seq_block(seq_block, S)
     hb = _resolve_hb(head_block, Hkv)
     grid = (B, Hkv // hb, S // seq_block)
 
@@ -383,14 +395,7 @@ def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
     B, H, _, D = q.shape
     Bk, Hkv, S, Dk = k_cache.shape
     rep = H // Hkv
-    seq_block = min(seq_block, S)
-    if S % seq_block:
-        # largest divisor of S <= seq_block (gcd could collapse to 128 —
-        # e.g. S=2176 vs 2048 -> 128-row DMAs, ~5 ms/step regression)
-        k = -(-S // seq_block)
-        while S % k:
-            k += 1
-        seq_block = S // k
+    seq_block = _pick_seq_block(seq_block, S)
     hb = _resolve_hb(head_block, Hkv)
     grid = (B, Hkv // hb, S // seq_block)
 
