@@ -244,6 +244,15 @@ def _g2bmm(op, ins, ctx):
     w = int(op.attrs["width"])
     d = int(op.attrs.get("dilation", 1))
     bsz, m, k = a.shape
+    from infinitensor_tpu.kernels.band import (
+        band_kernels_usable, g2bmm_band)
+    from infinitensor_tpu.utils.platform import is_tpu, pallas_interpret
+    interp = pallas_interpret() and not is_tpu()
+    if (ctx.use_pallas or interp) and \
+            band_kernels_usable(m, k, w, d, interp):
+        # windowed Pallas band kernel: B read ~3x total, no [m,2w+1,k]
+        # materialization (kernels/band.py; reference gbmm_g2bmm.cu)
+        return g2bmm_band(a, b, w, d, interpret=interp)
     offsets = jnp.arange(-w, w + 1) * d                     # [2w+1]
     if bsz * m * (2 * w + 1) * k <= _BAND_GATHER_LIMIT:
         idx = jnp.arange(m)[:, None] + offsets[None, :]      # [m, 2w+1]
@@ -273,6 +282,13 @@ def _gbmm(op, ins, ctx):
     w = (n - 1) // 2
     d = int(op.attrs.get("dilation", 1))
     bsz, m, k = b.shape
+    from infinitensor_tpu.kernels.band import (
+        band_kernels_usable, gbmm_band)
+    from infinitensor_tpu.utils.platform import is_tpu, pallas_interpret
+    interp = pallas_interpret() and not is_tpu()
+    if (ctx.use_pallas or interp) and \
+            band_kernels_usable(m, k, w, d, interp):
+        return gbmm_band(a, b, w, d, interpret=interp)
     offsets = jnp.arange(-w, w + 1) * d
     if bsz * m * n * k <= _BAND_GATHER_LIMIT:
         idx = jnp.arange(m)[:, None] + offsets[None, :]

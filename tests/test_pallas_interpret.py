@@ -187,3 +187,32 @@ def test_quantized_decode_block_fused_norm_interpret(rng):
                                                  dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_band_kernels_interpret(rng):
+    """G2BMM/GBMM windowed band kernels vs the jnp gather oracle, through
+    the graph lowering under pallas_interpret (reference
+    gbmm_g2bmm.cu semantics)."""
+    import jax.numpy as jnp
+    from infinitensor_tpu.core.handler import GraphHandler
+    from infinitensor_tpu.runtime.executor import GraphExecutor
+    from infinitensor_tpu.utils.config import config
+
+    w, m, k = 6, 64, 128
+    a = rng.standard_normal((2, m, k)).astype(np.float32)
+    b = rng.standard_normal((2, m, k)).astype(np.float32)
+
+    h = GraphHandler()
+    ta = h.input((2, m, k), name="a")
+    tb = h.input((2, m, k), name="b")
+    band = h.g2bmm(ta, tb, width=w)
+    h.gbmm(band, tb)
+    h.graph.infer_output_roles()
+
+    want = GraphExecutor(h.graph).run({"a": a, "b": b}, return_numpy=True)
+    with config.override(pallas_interpret=True):
+        got = GraphExecutor(h.graph).run({"a": a, "b": b},
+                                         return_numpy=True)
+    for key in want:
+        np.testing.assert_allclose(got[key], want[key], rtol=1e-4,
+                                   atol=1e-4)
