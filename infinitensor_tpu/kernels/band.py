@@ -53,16 +53,16 @@ def _g2bmm_kernel(a_ref, bp_ref, bc_ref, bn_ref, o_ref, win_ref, *,
     a = a_ref[:, :].astype(jnp.float32)
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
 
-    def body(j, _):
+    # STATIC unroll over the 2w+1 diagonals: Mosaic cannot prove a
+    # dynamic lane index is 128-aligned, so dynamic 1-wide column stores
+    # are rejected; static slices lower fine (w is gated <= 128)
+    for j in range(2 * w + 1):
         off = j - w
-        seg = win_ref[pl.ds(R + off, R), :]
+        seg = win_ref[R + off:2 * R + off, :]
         col = jnp.sum(a * seg.astype(jnp.float32), axis=1, keepdims=True)
         tgt = rows + off
         col = jnp.where((tgt >= 0) & (tgt < m), col, 0.0)
-        o_ref[:, pl.ds(j, 1)] = col.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, 2 * w + 1, body, 0)
+        o_ref[:, j:j + 1] = col.astype(o_ref.dtype)
 
 
 def _gbmm_kernel(w_ref, bp_ref, bc_ref, bn_ref, o_ref, win_ref, *,
@@ -78,15 +78,14 @@ def _gbmm_kernel(w_ref, bp_ref, bc_ref, bn_ref, o_ref, win_ref, *,
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     acc0 = jnp.zeros(o_ref.shape, jnp.float32)
 
-    def body(j, acc):
+    acc = acc0
+    for j in range(2 * w + 1):       # static unroll (see _g2bmm_kernel)
         off = j - w
-        seg = win_ref[pl.ds(R + off, R), :]
-        wt = w_ref[:, pl.ds(j, 1)].astype(jnp.float32)
+        seg = win_ref[R + off:2 * R + off, :]
+        wt = w_ref[:, j:j + 1].astype(jnp.float32)
         tgt = rows + off
         wt = jnp.where((tgt >= 0) & (tgt < m), wt, 0.0)
-        return acc + wt * seg.astype(jnp.float32)
-
-    acc = jax.lax.fori_loop(0, 2 * w + 1, body, acc0)
+        acc = acc + wt * seg.astype(jnp.float32)
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
@@ -159,6 +158,6 @@ def band_kernels_usable(m: int, k: int, w: int, d: int,
                         interpret: bool = False) -> bool:
     """Gate shared by the lowerings: dilation 1, a valid row block, lane-
     aligned k, and a TPU (or the interpreter)."""
-    if d != 1 or k % 128 or not _pick_rows(m, w):
+    if d != 1 or k % 128 or w > 128 or not _pick_rows(m, w):
         return False
     return interpret or is_tpu() or pallas_interpret()
