@@ -31,7 +31,10 @@ def main():
     np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:8])
     build_s = time.time() - t0
 
-    chunk = int(os.environ.get("SERVE_CHUNK", "8"))
+    # chunk=32 measured 896.8 tok/s vs 652.6 at chunk=8 (chunk=64 only
+    # +3.7% more and wastes slot-steps under eos): launch amortization
+    # dominates at batch 8 through the tunnel
+    chunk = int(os.environ.get("SERVE_CHUNK", "32"))
     eng = ServingEngine(params, cfg, max_slots=8,
                         prefill_buckets=(64, 256),
                         prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
