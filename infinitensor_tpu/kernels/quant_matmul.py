@@ -144,6 +144,107 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
+
+def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sclo_ref, schi_ref,
+                    o_ref, acc_ref, *, bits, group_size):
+    """2D-grid group-dot kernel: grid (dout/bn, kr/kb), k innermost. The
+    1D kernel's grid length = dout/bn; short grids (wo: 4-16 steps)
+    cannot hide DMA latency and measured 460-600 GB/s vs 680-810 at long
+    grids (docs/QMM_TUNE_REPORT.json). Splitting the contraction dim
+    multiplies grid length by kr/kb at constant tile size; partials
+    accumulate in an fp32 scratch that persists across the k steps of
+    one output tile (out written at the last k step).
+
+    Blocks: x_lo/x_hi [rows, kb] (the pipeliner slices x — in-kernel
+    dynamic lane starts are unprovable for Mosaic), qw [kb, bn] packed,
+    sclo/schi [kb/g, bn]. int8 ignores the hi operands (aliased blocks).
+    """
+    import jax.experimental.pallas as pl
+
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    g = group_size
+    bn = qw_ref.shape[1]
+    kb = qw_ref.shape[0]
+    acc = acc_ref[:, :]
+    if bits == 8:
+        for c in range(kb // g):
+            w = qw_ref[c * g:(c + 1) * g, :].astype(jnp.bfloat16)
+            pd = jnp.dot(x_lo_ref[:, c * g:(c + 1) * g], w,
+                         preferred_element_type=jnp.float32)
+            acc = acc + pd * sclo_ref[c, :].astype(jnp.float32)[None, :]
+    else:
+        for c in range(kb // g):
+            u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
+            lo = ((u << 28) >> 28).astype(jnp.bfloat16)
+            hi = ((u << 24) >> 28).astype(jnp.bfloat16)
+            pd_lo = jnp.dot(x_lo_ref[:, c * g:(c + 1) * g], lo,
+                            preferred_element_type=jnp.float32)
+            pd_hi = jnp.dot(x_hi_ref[:, c * g:(c + 1) * g], hi,
+                            preferred_element_type=jnp.float32)
+            acc = acc + pd_lo * sclo_ref[c, :].astype(jnp.float32)[None, :] \
+                + pd_hi * schi_ref[c, :].astype(jnp.float32)[None, :]
+    acc_ref[:, :] = acc
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:, :] = acc_ref[:, :].astype(o_ref.dtype)
+
+
+def quant_matmul_2d(x, q: QuantizedLinear, bn: int, kb: int,
+                    interpret: bool = False):
+    """2D-grid variant (see _kernel_group2d). kb = PACKED contraction
+    rows per step (multiple of group_size, divides the stored rows);
+    bn divides the physical dout."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    *lead, din = x.shape
+    dout = q.out_physical
+    kr = q.qweight.shape[0]
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, din)
+    pad_rows = max(8, rows)
+    if pad_rows != rows:
+        x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
+    g = q.group_size
+    ng = q.scales.shape[0]
+    ng_c = kb // g
+    assert kb % g == 0 and kr % kb == 0 and dout % bn == 0
+    if q.bits == 4:
+        hb_off = (ng // 2) // ng_c              # hi scale block offset
+        xh_off = kr // kb                        # hi x block offset
+    else:
+        hb_off = 0
+        xh_off = 0
+
+    grid = (dout // bn, kr // kb)
+    out = pl.pallas_call(
+        functools.partial(_kernel_group2d, bits=q.bits, group_size=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pad_rows, kb), lambda j, k: (0, k)),
+            pl.BlockSpec((pad_rows, kb),
+                         lambda j, k, o=xh_off: (0, k + o)),
+            pl.BlockSpec((kb, bn), lambda j, k: (k, j)),
+            pl.BlockSpec((ng_c, bn), lambda j, k: (k, j)),
+            pl.BlockSpec((ng_c, bn), lambda j, k, o=hb_off: (k + o, j)),
+        ],
+        out_specs=pl.BlockSpec((pad_rows, bn), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((pad_rows, bn), jnp.float32)],
+        interpret=interpret,
+    )(x2, x2, q.qweight, q.scales, q.scales)
+    out = out[:rows, :q.out_features]
+    return out.reshape(*lead, q.out_features)
+
+
 _TUNE_DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", "..", "docs", "qmm_tune.json")
 
@@ -273,6 +374,14 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     if block_out and q.out_physical % block_out:
         block_out = 0               # tuned bn from a different padding
     variant = variant or os.environ.get("INFINITPU_QMM_VARIANT", "group")
+    if variant == "group2d" and tuned and tuned.get("kb"):
+        kb = int(tuned["kb"])
+        kr = q.qweight.shape[0]
+        if (block_out and kb % q.group_size == 0 and kr % kb == 0
+                and q.group_size % 128 == 0):
+            return quant_matmul_2d(x, q, block_out, kb,
+                                   interpret=interpret)
+        variant = "group"
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -117,6 +117,19 @@ def main():
                     continue
                 cands.append(("group", bn))
             cands.append(("chunk", 0))      # current default chunk config
+            if os.environ.get("QMM_2D"):
+                kr = qls[0].qweight.shape[0]
+                for bn in divisor_bns(dout_phys, hi=4096):
+                    for kb in (128, 256, 512):
+                        if kb % 128 or kr % kb or kr == kb:
+                            continue
+                        tile = kb * bn
+                        grid = (dout_phys // bn) * (kr // kb)
+                        if not (2 << 17) <= tile <= (2 << 20):
+                            continue
+                        if grid > 256 or grid < 8:
+                            continue
+                        cands.append((f"group2d:{kb}", bn))
         rows = {}
         best = None
         for variant, bn in cands:
@@ -125,8 +138,12 @@ def main():
                     a = acc
                     for q in qls:
                         x = x0 + a.astype(jnp.bfloat16)
-                        out = qm.quant_matmul(x, q, block_out=bn,
-                                              variant=variant)
+                        if variant.startswith("group2d:"):
+                            kb = int(variant.split(":")[1])
+                            out = qm.quant_matmul_2d(x, q, bn, kb)
+                        else:
+                            out = qm.quant_matmul(x, q, block_out=bn,
+                                                  variant=variant)
                         a = jnp.mean(out).astype(jnp.float32) * 1e-30
                     return a
                 return jax.lax.fori_loop(0, n, body, seed)
@@ -140,7 +157,11 @@ def main():
                 best = (dt, variant, bn)
         report["per_shape"][name] = rows
         _, variant, bn = best
-        table[f"{din}:{dout}:{bits}"] = {"bn": bn, "variant": variant}
+        entry = {"bn": bn, "variant": variant}
+        if variant.startswith("group2d:"):
+            entry = {"bn": bn, "variant": "group2d",
+                     "kb": int(variant.split(":")[1])}
+        table[f"{din}:{dout}:{bits}"] = entry
         with open(REPORT, "w") as f:
             json.dump(report, f, indent=1)
         print(f"# {name} best: {variant} bn={bn}", flush=True)
