@@ -145,7 +145,7 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
 
 
 
-def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sclo_ref, schi_ref,
+def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sc_ref,
                     o_ref, acc_ref, *, bits, group_size):
     """2D-grid group-dot kernel: grid (dout/bn, kr/kb), k innermost. The
     1D kernel's grid length = dout/bn; short grids (wo: 4-16 steps)
@@ -156,8 +156,10 @@ def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sclo_ref, schi_ref,
     one output tile (out written at the last k step).
 
     Blocks: x_lo/x_hi [rows, kb] (the pipeliner slices x — in-kernel
-    dynamic lane starts are unprovable for Mosaic), qw [kb, bn] packed,
-    sclo/schi [kb/g, bn]. int8 ignores the hi operands (aliased blocks).
+    dynamic LANE starts are unprovable for Mosaic), qw [kb, bn] packed,
+    sc [ng, bn] (ALL scale rows for the output tile — kb/g rows per
+    chunk can be < 8, too thin for a block; dynamic SUBLANE reads are
+    fine). int8 ignores the x_hi operand (aliased block).
     """
     import jax.experimental.pallas as pl
 
@@ -170,13 +172,16 @@ def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sclo_ref, schi_ref,
     g = group_size
     bn = qw_ref.shape[1]
     kb = qw_ref.shape[0]
+    ng = sc_ref.shape[0]
+    ng_c = kb // g
     acc = acc_ref[:, :]
     if bits == 8:
         for c in range(kb // g):
             w = qw_ref[c * g:(c + 1) * g, :].astype(jnp.bfloat16)
             pd = jnp.dot(x_lo_ref[:, c * g:(c + 1) * g], w,
                          preferred_element_type=jnp.float32)
-            acc = acc + pd * sclo_ref[c, :].astype(jnp.float32)[None, :]
+            sc = sc_ref[pl.ds(k_idx * ng_c + c, 1), :]
+            acc = acc + pd * sc.astype(jnp.float32)
     else:
         for c in range(kb // g):
             u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
@@ -186,8 +191,10 @@ def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sclo_ref, schi_ref,
                             preferred_element_type=jnp.float32)
             pd_hi = jnp.dot(x_hi_ref[:, c * g:(c + 1) * g], hi,
                             preferred_element_type=jnp.float32)
-            acc = acc + pd_lo * sclo_ref[c, :].astype(jnp.float32)[None, :] \
-                + pd_hi * schi_ref[c, :].astype(jnp.float32)[None, :]
+            sc_lo = sc_ref[pl.ds(k_idx * ng_c + c, 1), :]
+            sc_hi = sc_ref[pl.ds(ng // 2 + k_idx * ng_c + c, 1), :]
+            acc = acc + pd_lo * sc_lo.astype(jnp.float32) \
+                + pd_hi * sc_hi.astype(jnp.float32)
     acc_ref[:, :] = acc
 
     @pl.when(k_idx == pl.num_programs(1) - 1)
@@ -215,14 +222,8 @@ def quant_matmul_2d(x, q: QuantizedLinear, bn: int, kb: int,
         x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
     g = q.group_size
     ng = q.scales.shape[0]
-    ng_c = kb // g
     assert kb % g == 0 and kr % kb == 0 and dout % bn == 0
-    if q.bits == 4:
-        hb_off = (ng // 2) // ng_c              # hi scale block offset
-        xh_off = kr // kb                        # hi x block offset
-    else:
-        hb_off = 0
-        xh_off = 0
+    xh_off = kr // kb if q.bits == 4 else 0
 
     grid = (dout // bn, kr // kb)
     out = pl.pallas_call(
@@ -233,14 +234,13 @@ def quant_matmul_2d(x, q: QuantizedLinear, bn: int, kb: int,
             pl.BlockSpec((pad_rows, kb),
                          lambda j, k, o=xh_off: (0, k + o)),
             pl.BlockSpec((kb, bn), lambda j, k: (k, j)),
-            pl.BlockSpec((ng_c, bn), lambda j, k: (k, j)),
-            pl.BlockSpec((ng_c, bn), lambda j, k, o=hb_off: (k + o, j)),
+            pl.BlockSpec((ng, bn), lambda j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((pad_rows, bn), lambda j, k: (0, j)),
         out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
         scratch_shapes=[pltpu.VMEM((pad_rows, bn), jnp.float32)],
         interpret=interpret,
-    )(x2, x2, q.qweight, q.scales, q.scales)
+    )(x2, x2, q.qweight, q.scales)
     out = out[:rows, :q.out_features]
     return out.reshape(*lead, q.out_features)
 
