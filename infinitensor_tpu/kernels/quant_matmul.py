@@ -174,14 +174,23 @@ def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sc_ref,
     kb = qw_ref.shape[0]
     ng = sc_ref.shape[0]
     ng_c = kb // g
+    # dynamic sublane reads need 8-alignment proofs Mosaic can't make for
+    # bf16 scales; select the row by masked reduction over the (small)
+    # full block instead
+    sc_all = sc_ref[:, :].astype(jnp.float32)          # [ng, bn]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ng, 1), 0)
+
+    def sc_row(idx):
+        return jnp.sum(jnp.where(row_ids == idx, sc_all, 0.0), axis=0,
+                       keepdims=True)                  # [1, bn]
+
     acc = acc_ref[:, :]
     if bits == 8:
         for c in range(kb // g):
             w = qw_ref[c * g:(c + 1) * g, :].astype(jnp.bfloat16)
             pd = jnp.dot(x_lo_ref[:, c * g:(c + 1) * g], w,
                          preferred_element_type=jnp.float32)
-            sc = sc_ref[pl.ds(k_idx * ng_c + c, 1), :]
-            acc = acc + pd * sc.astype(jnp.float32)
+            acc = acc + pd * sc_row(k_idx * ng_c + c)
     else:
         for c in range(kb // g):
             u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
@@ -191,10 +200,8 @@ def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sc_ref,
                             preferred_element_type=jnp.float32)
             pd_hi = jnp.dot(x_hi_ref[:, c * g:(c + 1) * g], hi,
                             preferred_element_type=jnp.float32)
-            sc_lo = sc_ref[pl.ds(k_idx * ng_c + c, 1), :]
-            sc_hi = sc_ref[pl.ds(ng // 2 + k_idx * ng_c + c, 1), :]
-            acc = acc + pd_lo * sc_lo.astype(jnp.float32) \
-                + pd_hi * sc_hi.astype(jnp.float32)
+            acc = acc + pd_lo * sc_row(k_idx * ng_c + c) \
+                + pd_hi * sc_row(ng // 2 + k_idx * ng_c + c)
     acc_ref[:, :] = acc
 
     @pl.when(k_idx == pl.num_programs(1) - 1)
