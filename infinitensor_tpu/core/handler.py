@@ -350,8 +350,9 @@ class GraphHandler:
         self.graph.add_op(Operator("AttentionKVCache", ins, created, {}))
         return created if n_out > 1 else created[0]
 
-    def rope(self, pos, x, dim_head=64, output=None):
-        return self._add("RoPE", [pos, x], {"dim_head": dim_head},
+    def rope(self, pos, x, dim_head=64, theta=10000.0, output=None):
+        return self._add("RoPE", [pos, x], {"dim_head": dim_head,
+                                            "theta": float(theta)},
                          outputs=[output])
 
     def g2bmm(self, a, b, width, dilation=1, output=None):

@@ -176,10 +176,11 @@ def _pick_seq_block(seq_block: int, S: int) -> int:
     k = -(-S // seq_block)
     while k <= S and (S % k or (S // k) % 128):
         k += 1
-    cand = S // k if k <= S else (math.gcd(S, 128) or S)
-    if cand < 512 and S <= 4096:
-        return S                      # single big block beats tiny DMAs
-    return cand
+    cand = S // k if k <= S else 0
+    if cand >= 512:
+        return cand
+    return S            # single whole-S block beats tiny DMAs and is
+                        # always Mosaic-valid (block dim == array dim)
 
 
 def _resolve_hb(head_block: int, Hkv: int) -> int:
@@ -214,7 +215,7 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     attention_kvcache.cu:8-60; this recovers that property for static
     shapes).
 
-    head_block (env INFINITPU_FLASH_HB, default 8): kv heads per grid
+    head_block (env INFINITPU_FLASH_HB, default 1): kv heads per grid
     step. Per-head decode compute is tiny ([rep, D] x [D, blk]), so a
     one-head grid pays its fixed per-step cost ~Hkv x S/blk times;
     blocking heads amortizes it and lets seq_block shrink (better
@@ -366,6 +367,8 @@ def _flash_decode_q8_hb_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref,
             o_ref.shape).astype(o_ref.dtype)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("seq_block", "interpret", "head_block"))
 def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
                     seq_block: int = 2048, interpret: bool = False,
                     head_block: int = 0):

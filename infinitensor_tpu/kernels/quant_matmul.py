@@ -384,8 +384,11 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     if variant == "group2d" and tuned and tuned.get("kb"):
         kb = int(tuned["kb"])
         kr = q.qweight.shape[0]
+        rows2d = 1
+        for d in x.shape[:-1]:
+            rows2d *= d
         if (block_out and kb % q.group_size == 0 and kr % kb == 0
-                and q.group_size % 128 == 0):
+                and q.group_size % 128 == 0 and max(8, rows2d) <= 256):
             return quant_matmul_2d(x, q, block_out, kb,
                                    interpret=interpret)
         variant = "group"

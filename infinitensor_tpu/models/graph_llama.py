@@ -89,8 +89,8 @@ def build_llama_decoder(params: dict, cfg: LlamaConfig, batch: int = 1,
         q = h.matmul(hn, w(layer["wq"], f"l{i}.wq"))
         k = h.matmul(hn, w(layer["wk"], f"l{i}.wk"))
         v = h.matmul(hn, w(layer["wv"], f"l{i}.wv"))
-        q = h.rope(pos2, q, dim_head=D)
-        k = h.rope(pos2, k, dim_head=D)
+        q = h.rope(pos2, q, dim_head=D, theta=cfg.rope_theta)
+        k = h.rope(pos2, k, dim_head=D, theta=cfg.rope_theta)
 
         def heads(t):
             return h.transpose(h.reshape(t, (B, 1, H, D)), (0, 2, 1, 3))
@@ -170,7 +170,24 @@ class GraphLlamaServingAdapter:
             self._built[key] = (dec, GraphExecutor(dec.graph))
         return self._built[key]
 
-    def _forward(self, token, pos, cache):
+    def _weights_from_params(self, params):
+        """Graph weight-name dict from the llama param pytree, built at
+        TRACE time from the traced `params` argument — weights must flow
+        through jit arguments, not closures (a closure-captured weight
+        set becomes per-executable HLO constants; see the repo's
+        jit-closure-constants note)."""
+        import jax.numpy as jnp
+
+        w = {"embed": params["embed"],
+             "final_norm": params["final_norm"],
+             "lm_head": params["lm_head"]}
+        for i, layer in enumerate(params["layers"]):
+            for k in ("attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
+                      "w_gate", "w_up", "w_down"):
+                w[f"l{i}.{k}"] = layer[k]
+        return {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}
+
+    def _forward(self, params, token, pos, cache):
         """One traced decode step: (logits [B, vocab], cache')."""
         import jax.numpy as jnp
 
@@ -182,14 +199,14 @@ class GraphLlamaServingAdapter:
         for i in range(self.cfg.n_layers):
             vals[dec.k_in[i]] = cache["k"][i]
             vals[dec.v_in[i]] = cache["v"][i]
-        out = ex._forward(vals, ex._weight_arrays())
+        out = ex._forward(vals, self._weights_from_params(params))
         new_cache = {"k": [out[n] for n in dec.k_out],
                      "v": [out[n] for n in dec.v_out]}
         return out[dec.logits_name], new_cache
 
     # engine-facing fns (same signatures as models/llama.py) -------------
     def decode_fn(self, params, cfg, token, pos, cache):
-        return self._forward(token, pos, cache)
+        return self._forward(params, token, pos, cache)
 
     def prefill_fn(self, params, cfg, tokens, cache):
         """tokens [B, S] -> (logits [B, S, vocab], cache'): scan the decode
@@ -201,7 +218,7 @@ class GraphLlamaServingAdapter:
 
         def body(c, inp):
             tok, p = inp
-            logits, c = self._forward(tok, p, c)
+            logits, c = self._forward(params, tok, p, c)
             return c, logits
 
         toks_t = jnp.moveaxis(tokens, 0, 1)               # [S, B]

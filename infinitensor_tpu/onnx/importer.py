@@ -633,7 +633,8 @@ def _imp_attn_kv(ctx, node, attrs):
 @register_import("RoPE")
 def _imp_rope(ctx, node, attrs):
     out = ctx.h.rope(ctx.get(node.input[0]), ctx.get(node.input[1]),
-                     dim_head=int(attrs.get("dim_head", 64)))
+                     dim_head=int(attrs.get("dim_head", 64)),
+                     theta=float(attrs.get("theta", 10000.0)))
     ctx.put(node.output[0], out)
 
 

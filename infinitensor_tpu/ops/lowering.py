@@ -802,7 +802,8 @@ def _rope_l(op, ins, ctx):
     xs = x.reshape(*lead, dim_model // dim_head, dim_head)
     x1 = xs[..., :half]
     x2 = xs[..., half:]
-    inv_freq = jnp.power(10000.0, -jnp.arange(0, half, dtype=jnp.float32) * 2.0 / dim_head)
+    base = float(op.attrs.get("theta", 10000.0))
+    inv_freq = jnp.power(base, -jnp.arange(0, half, dtype=jnp.float32) * 2.0 / dim_head)
     # pos broadcast: [...,] -> [..., 1, 1]
     theta = pos.astype(jnp.float32)[..., None, None] * inv_freq
     cos, sin = jnp.cos(theta), jnp.sin(theta)

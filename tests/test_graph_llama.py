@@ -120,3 +120,24 @@ def test_serving_engine_runs_graph_ir_model(params):
     eng.run_to_completion()
     got = [list(r.generated) for r in got]
     assert got == want
+
+
+def test_graph_decode_respects_rope_theta():
+    """A non-default rope_theta must flow through the graph RoPE op
+    (review finding: the lowering used to hardcode 10000)."""
+    cfg = LlamaConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=4, intermediate=96, max_seq=32,
+                      rope_theta=500000.0, dtype=jnp.float32)
+    params = init_llama_params(cfg, jax.random.PRNGKey(3),
+                               dtype=jnp.float32)
+    cache = init_kv_cache(cfg, 1, dtype=jnp.float32)
+    tok = jnp.full((1,), 5, jnp.int32)
+    want = []
+    for j in range(6):
+        lg, cache = llama_decode_step(params, cfg, tok,
+                                      jnp.full((1,), j, jnp.int32), cache)
+        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        want.append(int(tok[0]))
+    dec = build_llama_decoder(params, cfg, batch=1)
+    got = graph_greedy_decode(dec, first_token=5, n_steps=6, start_pos=0)
+    assert list(got[0]) == want

@@ -131,7 +131,8 @@ def main():
             }
             emit("quant_matmul", mm)
     lm = params["lm_head"]
-    lm_bytes = int(lm.qweight.size) + int(lm.scales.size) * 4
+    lm_bytes = int(lm.qweight.size) + int(lm.scales.size) \
+        * lm.scales.dtype.itemsize
     x0 = jnp.ones((1, cfg.dim), jnp.bfloat16)
     for variant in ("group", "chunk"):
         def chain(seed, n, lm, x0, variant=variant):

@@ -51,11 +51,13 @@ def main():
     reps = int(os.environ.get("SERVE_REPS", "2"))
     samples = []
     all_done = True
+    # one FIXED workload reused every rep: reps must measure run-to-run
+    # noise, not prompt-length resampling
+    lens = rng.integers(16, 250, n_req)
+    prompts = [list(rng.integers(1, 50000, int(n))) for n in lens]
     for _ in range(max(1, reps)):
         base_tokens, base_steps = eng.tokens_out, eng.steps
-        reqs = [eng.submit(list(rng.integers(1, 50000, int(n))),
-                           max_new_tokens=64)
-                for n in rng.integers(16, 250, n_req)]
+        reqs = [eng.submit(list(p), max_new_tokens=64) for p in prompts]
         t0 = time.time()
         eng.run_to_completion()
         dt = time.time() - t0
