@@ -171,7 +171,7 @@ def _pick_seq_block(seq_block: int, S: int) -> int:
     when only tiny divisors exist, one whole-S block wins (the sweep
     shows big DMAs dominate elision, docs/DECODE_BUDGET.json)."""
     seq_block = min(seq_block, S)
-    if S % seq_block == 0:
+    if S % seq_block == 0 and (seq_block % 128 == 0 or seq_block == S):
         return seq_block
     k = -(-S // seq_block)
     while k <= S and (S % k or (S // k) % 128):
@@ -179,8 +179,13 @@ def _pick_seq_block(seq_block: int, S: int) -> int:
     cand = S // k if k <= S else 0
     if cand >= 512:
         return cand
-    return S            # single whole-S block beats tiny DMAs and is
-                        # always Mosaic-valid (block dim == array dim)
+    # Single whole-S block beats tiny DMAs and is always Mosaic-valid
+    # (block dim == array dim) — but only while [S, D] bf16 fits the
+    # ~4 MB-per-buffered-operand VMEM budget; past that, take the largest
+    # 128-multiple divisor even if small.
+    if S <= 8192 or cand == 0:
+        return S
+    return cand
 
 
 def _resolve_hb(head_block: int, Hkv: int) -> int:

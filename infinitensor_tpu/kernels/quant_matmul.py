@@ -341,7 +341,10 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
     group_ok = (din // pack) % q.group_size == 0 and \
         q.group_size % 128 == 0
     if (not group_ok or bn == 0 or pad_rows > 256
-            or (q.bits == 4 and ng % 2)):
+            or (q.bits == 4 and ng % 2)
+            # the fused kernel normalizes into bf16; for wider activation
+            # dtypes that would silently diverge from the unfused path
+            or x.dtype != jnp.bfloat16):
         return fallback()
 
     nw2 = norm_w.reshape(1, din)

@@ -30,7 +30,7 @@ from typing import Optional
 
 from infinitensor_tpu.core.graph import Graph
 from infinitensor_tpu.core.operator import Operator
-from infinitensor_tpu.core.tensor import TensorObj
+from infinitensor_tpu.core.tensor import TensorObj, TensorRole
 
 
 def _ancestor_sets(graph: Graph) -> dict:
@@ -141,7 +141,10 @@ def _add(g: Graph, op_type, ins, outs, attrs) -> Operator:
 def _bias_add_of(g: Graph, out: TensorObj):
     """If `out` feeds exactly one Add whose other operand is a 1-D vector
     of out's trailing dim (the Gemm bias decomposition the importer
-    emits), return that Add op."""
+    emits), return that Add op. A graph-OUTPUT pre-bias tensor is never
+    fusable: fusion deletes it, which would drop a graph boundary."""
+    if out.role is TensorRole.OUTPUT:
+        return None
     consumers = [op for op in g.operators
                  if any(t is out for t in op.inputs)]
     if len(consumers) != 1 or consumers[0].op_type != "Add":

@@ -170,23 +170,45 @@ def test_quantized_decode_block_fused_norm_interpret(rng):
         quantize_llama_params)
     from infinitensor_tpu.utils.config import config
 
+    # bf16 activations: the only dtype the fused kernel accepts (wider
+    # dtypes fall back so fused/unfused numerics can't silently diverge)
     cfg = LlamaConfig(vocab_size=256, dim=512, n_layers=2, n_heads=4,
                       n_kv_heads=4, intermediate=1024, max_seq=32,
-                      dtype=jnp.float32)
+                      dtype=jnp.bfloat16)
     params = quantize_llama_params(
-        init_llama_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32),
+        init_llama_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16),
         bits=8, group_size=128)
     tok = jnp.array([3], jnp.int32)
     pos = jnp.array([0], jnp.int32)
 
     want, _ = llama_decode_step(params, cfg, tok, pos,
-                                init_kv_cache(cfg, 1, dtype=jnp.float32))
+                                init_kv_cache(cfg, 1, dtype=jnp.bfloat16))
     with config.override(pallas_interpret=True):
         got, _ = llama_decode_step(
             params, cfg, tok, pos, init_kv_cache(cfg, 1,
-                                                 dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=2e-2)
+                                                 dtype=jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+    # fp32 input: quant_matmul_norm must take the exact fallback path,
+    # so fused-config and plain-config numerics are bit-identical
+    from infinitensor_tpu.kernels.quant_matmul import (
+        quant_matmul, quant_matmul_norm)
+    from infinitensor_tpu.quant.weight_only import quantize_weight
+    x32 = jnp.asarray(np.random.default_rng(5).standard_normal((1, 512)),
+                      jnp.float32)
+    nw = jnp.ones((512,), jnp.float32)
+    q = quantize_weight(
+        jnp.asarray(np.random.default_rng(6).standard_normal((512, 256)),
+                    jnp.float32), bits=8, group_size=128)
+    eps = 1e-5
+    ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    xn = (x32 * jax.lax.rsqrt(ms + eps)) * nw
+    with config.override(pallas_interpret=True):
+        fused = quant_matmul_norm(x32, nw, q, eps=eps)
+        unfused = quant_matmul(xn, q)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(unfused))
 
 
 def test_band_kernels_interpret(rng):

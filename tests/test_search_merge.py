@@ -155,6 +155,36 @@ def test_gemm_bias_siblings_fuse_bias(rng):
         np.testing.assert_allclose(after[k], before[k], rtol=1e-5, atol=1e-5)
 
 
+def test_gemm_bias_fusion_skips_graph_output_pre_bias(rng):
+    """A sibling whose PRE-bias matmul output is itself a declared graph
+    OUTPUT must not be bias-fused: fusion would delete a graph boundary
+    tensor. The siblings still merge; the bias Adds stay separate and
+    every declared output survives."""
+    from infinitensor_tpu.core.tensor import TensorRole
+    h = GraphHandler()
+    x = h.input((4, 16), name="x")
+    pre = []
+    for n in (8, 12):
+        w = h.weight(rng.standard_normal((16, n), dtype=np.float32))
+        b = h.weight(rng.standard_normal((n,), dtype=np.float32))
+        o = h.matmul(x, w)
+        pre.append(o)
+        h.add(o, b)
+    h.graph.infer_output_roles()
+    pre[0].role = TensorRole.OUTPUT     # pre-bias tensor is a boundary
+    merged = apply_merges(h.graph, find_merge_groups(h.graph))
+    assert merged is not None
+    names = {t.name for t in merged.tensors}
+    assert pre[0].name in names
+    feeds = {"x": rng.standard_normal((4, 16), dtype=np.float32)}
+    before = _outputs(h.graph, feeds)
+    after = _outputs(merged, feeds)
+    assert set(after) >= set(before)
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-5,
+                                   atol=1e-5)
+
+
 def test_batched_3d_sibling_matmuls_merge(rng):
     """Already-batched [b,m,k] x [b,k,n] siblings concatenate along the
     existing batch dim into one bigger batched matmul."""
