@@ -350,6 +350,27 @@ class GraphHandler:
         self.graph.add_op(Operator("AttentionKVCache", ins, created, {}))
         return created if n_out > 1 else created[0]
 
+    def attention_kvcache_q8(self, k_cache, v_cache, k_scale, v_scale,
+                             q, k, v, position_id):
+        """INT8-KV-cache fused decode attention, GQA-capable (TPU-native
+        extension of attention_kvcache; see ops/shape_rules.py). Returns
+        [attn_out, k_cache', v_cache', k_scale', v_scale']."""
+        return self._add("AttentionKVCacheQ8",
+                         [k_cache, v_cache, k_scale, v_scale, q, k, v,
+                          position_id], {})
+
+    def matmul_woq(self, x, qweight, scales, bits, group_size,
+                   norm_weight=None, eps=1e-5, out_logical=0, output=None):
+        """Weight-only-quantized matmul (int8 / packed int4 weight +
+        per-group scales); norm_weight fuses an input RMSNorm into the
+        kernel. See ops/shape_rules.py MatMulWOQ."""
+        ins = [x, qweight, scales] + \
+            ([norm_weight] if norm_weight is not None else [])
+        return self._add("MatMulWOQ", ins,
+                         {"bits": int(bits), "group_size": int(group_size),
+                          "out_logical": int(out_logical),
+                          "eps": float(eps)}, outputs=[output])
+
     def rope(self, pos, x, dim_head=64, theta=10000.0, output=None):
         return self._add("RoPE", [pos, x], {"dim_head": dim_head,
                                             "theta": float(theta)},

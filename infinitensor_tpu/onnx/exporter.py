@@ -18,7 +18,8 @@ from infinitensor_tpu.core.tensor import TensorRole
 from infinitensor_tpu.onnx import proto
 
 CUSTOM_DOMAIN_OPS = {
-    "RMSNorm", "RoPE", "AttentionKVCache", "AllReduceSum", "AllReduceProd",
+    "RMSNorm", "RoPE", "AttentionKVCache", "AttentionKVCacheQ8",
+    "MatMulWOQ", "AllReduceSum", "AllReduceProd",
     "AllReduceMin", "AllReduceMax", "AllReduceAvg", "AllGather", "Broadcast",
     "Send", "Recv", "G2BMM", "GBMM", "MemBound", "ReduceScatterSum",
     "AllToAll",

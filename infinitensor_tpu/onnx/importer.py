@@ -630,6 +630,26 @@ def _imp_attn_kv(ctx, node, attrs):
         ctx.put(node.output[2], outs[2])
 
 
+@register_import("AttentionKVCacheQ8")
+def _imp_attn_kv_q8(ctx, node, attrs):
+    ins = [ctx.get(i) for i in node.input[:8]]
+    outs = ctx.h.attention_kvcache_q8(*ins)
+    for name, t in zip(node.output, outs):
+        ctx.put(name, t)
+
+
+@register_import("MatMulWOQ")
+def _imp_matmul_woq(ctx, node, attrs):
+    ins = [ctx.get(i) for i in node.input]
+    out = ctx.h.matmul_woq(
+        ins[0], ins[1], ins[2], bits=int(attrs["bits"]),
+        group_size=int(attrs["group_size"]),
+        norm_weight=ins[3] if len(ins) > 3 else None,
+        eps=float(attrs.get("eps", 1e-5)),
+        out_logical=int(attrs.get("out_logical", 0)))
+    ctx.put(node.output[0], out)
+
+
 @register_import("RoPE")
 def _imp_rope(ctx, node, attrs):
     out = ctx.h.rope(ctx.get(node.input[0]), ctx.get(node.input[1]),

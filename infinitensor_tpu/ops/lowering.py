@@ -820,15 +820,49 @@ def _attention_kvcache_l(op, ins, ctx):
     cache[0..position]. Functional: returns (attn_out, k_cache, v_cache).
     """
     k_cache, v_cache, q, k, v, pos = ins
-    if ctx.use_pallas:
-        from infinitensor_tpu.kernels.attention import decode_attention
-        out, kc, vc = decode_attention(k_cache, v_cache, q, k, v, pos)
+    from infinitensor_tpu.kernels.attention import (
+        decode_attention_gqa, decode_attention_ref)
+    if q.shape[1] != k_cache.shape[1] or ctx.use_pallas:
+        # GQA (H != Hkv) or TPU: the grouped wrapper handles both (rep=1
+        # degenerates to MHA) and picks flash_decode on-device
+        out, kc, vc = decode_attention_gqa(k_cache, v_cache, q, k, v, pos)
     else:
-        from infinitensor_tpu.kernels.attention import decode_attention_ref
         out, kc, vc = decode_attention_ref(k_cache, v_cache, q, k, v, pos)
     if len(op.outputs) >= 3:
         return [out, kc, vc]
     return [out]
+
+
+@register("AttentionKVCacheQ8")
+def _attention_kvcache_q8_l(op, ins, ctx):
+    """INT8-KV-cache GQA decode attention (ops/shape_rules.py docstring);
+    the kernel wrapper routes to Pallas flash_decode_q8 on TPU and the
+    jnp oracle elsewhere."""
+    from infinitensor_tpu.kernels.attention import decode_attention_gqa_q8
+    kc, vc, ks, vs, q, k, v, pos = ins
+    out, kc, vc, ks, vs = decode_attention_gqa_q8(kc, vc, ks, vs, q, k, v,
+                                                  pos)
+    return [out, kc, vc, ks, vs]
+
+
+@register("MatMulWOQ")
+def _matmul_woq_l(op, ins, ctx):
+    """Weight-only-quantized matmul; reconstructs the QuantizedLinear
+    container from graph tensors + attrs and calls the Pallas dequant
+    kernels (jnp fallback off-TPU). With a 4th input the RMSNorm fuses
+    into the kernel (quant_matmul_norm)."""
+    from infinitensor_tpu.kernels.quant_matmul import (
+        quant_matmul, quant_matmul_norm)
+    from infinitensor_tpu.quant.weight_only import QuantizedLinear
+    x, qw, sc = ins[0], ins[1], ins[2]
+    a = op.attrs
+    q = QuantizedLinear(qw, sc, int(a["bits"]), int(a["group_size"]),
+                        int(a.get("out_logical", 0)))
+    if len(ins) > 3 and ins[3] is not None:
+        norm_w = ins[3].reshape(-1)
+        return quant_matmul_norm(x, norm_w, q,
+                                 eps=float(a.get("eps", 1e-5)))
+    return quant_matmul(x, q)
 
 
 # ---------------------------------------------------------------------------

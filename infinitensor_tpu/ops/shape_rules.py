@@ -581,6 +581,41 @@ def _attention_kvcache(op):
     return outs
 
 
+@register("AttentionKVCacheQ8")
+def _attention_kvcache_q8(op):
+    """INT8-KV-cache fused decode attention (GQA-capable).
+
+    TPU-native extension of the reference AttentionKVCache
+    (src/operators/attention_kvcache.cc:20-27): caches are int8
+    [B, Hkv, S, D] ring buffers with per-(b, h, s) fp32 scales
+    [B, Hkv, S] — half the cache HBM traffic of bf16. Inputs
+    (k_cache, v_cache, k_scale, v_scale, q, k, v, position_id); outputs
+    (attn_out [q.shape], k_cache', v_cache', k_scale', v_scale') in
+    functional form for donation-based in-place update."""
+    kc, vc, ks, vs, q = (_in(op, i) for i in range(5))
+    assert kc.rank == 4, f"k_cache must be [B,Hkv,S,D], got {kc.shape}"
+    assert ks.rank == 3, f"k_scale must be [B,Hkv,S], got {ks.shape}"
+    return [(q.shape, q.dtype), (kc.shape, kc.dtype), (vc.shape, vc.dtype),
+            (ks.shape, ks.dtype), (vs.shape, vs.dtype)]
+
+
+@register("MatMulWOQ")
+def _matmul_woq(op):
+    """Weight-only-quantized matmul: x [..., din] @ packed int weight.
+
+    Inputs (x, qweight int8 [din(/2 for int4), out_p], scales [ng, out_p])
+    + optional norm_weight (RMSNorm fused into the kernel, the decode
+    pre-attention/pre-MLP pattern). Attrs: bits (4/8), group_size,
+    out_logical (logical out dim when out_p is tile-padded; 0 = out_p),
+    eps (fused-norm epsilon). The reference reaches weight-only INT4/INT8
+    via MatMulInteger/DequantizeLinear chains; this op carries the
+    quantized weight natively so the Pallas dequant-matmul kernels
+    (kernels/quant_matmul.py) are reachable from the graph IR."""
+    x, qw = _in(op, 0), _in(op, 1)
+    nf = int(op.attrs.get("out_logical", 0)) or qw.shape[1]
+    return [(tuple(x.shape[:-1]) + (nf,), x.dtype)]
+
+
 @register("RoPE")
 def _rope(op):
     # (pos, input) -> input shape (reference src/operators/rope.cc:9-14)

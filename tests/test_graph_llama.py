@@ -141,3 +141,110 @@ def test_graph_decode_respects_rope_theta():
     dec = build_llama_decoder(params, cfg, batch=1)
     got = graph_greedy_decode(dec, first_token=5, n_steps=6, start_pos=0)
     assert list(got[0]) == want
+
+
+# ---------------------------------------------------------------------------
+# Quantized + GQA + INT8-KV graph path (BASELINE config-4 layout through
+# the graph IR; reference decodes its flagship through the engine the same
+# way, llama_kvcache_inference.py:102-144)
+# ---------------------------------------------------------------------------
+
+GQA_CFG = LlamaConfig(vocab_size=128, dim=128, n_layers=2, n_heads=4,
+                      n_kv_heads=2, intermediate=192, max_seq=32,
+                      dtype=jnp.float32)
+
+
+def _reference_tokens_cfg(params, cfg, first_token, n_steps,
+                          kv_quant=False):
+    cache = init_kv_cache(cfg, 1, dtype=jnp.float32, kv_quant=kv_quant)
+    tok = jnp.full((1,), first_token, jnp.int32)
+    step = jax.jit(llama_decode_step, static_argnums=1, donate_argnums=4)
+    toks = []
+    for j in range(n_steps):
+        pos = jnp.full((1,), j, jnp.int32)
+        logits, cache = step(params, cfg, tok, pos, cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks.append(int(tok[0]))
+    return toks
+
+
+def test_graph_decode_gqa_matches_native():
+    """GQA (n_kv_heads < n_heads) float decode through the graph IR —
+    the MHA-only restriction is gone."""
+    params = init_llama_params(GQA_CFG, jax.random.PRNGKey(3),
+                               dtype=jnp.float32)
+    want = _reference_tokens_cfg(params, GQA_CFG, 5, 8)
+    dec = build_llama_decoder(params, GQA_CFG, batch=1)
+    got = graph_greedy_decode(dec, first_token=5, n_steps=8, start_pos=0)
+    assert list(got[0]) == want
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_graph_decode_quantized_gqa_kv8(bits):
+    """Weight-only-quantized (fused wqkv/w_gateup MatMulWOQ ops with
+    fused RMSNorm) + GQA + INT8 KV cache (AttentionKVCacheQ8), token-
+    identical to the hand-written quantized fast path."""
+    from infinitensor_tpu.models.llama import quantize_llama_params
+
+    params = init_llama_params(GQA_CFG, jax.random.PRNGKey(11),
+                               dtype=jnp.float32)
+    qparams = quantize_llama_params(params, bits=bits, group_size=128)
+    want = _reference_tokens_cfg(qparams, GQA_CFG, 7, 8, kv_quant=True)
+    dec = build_llama_decoder(qparams, GQA_CFG, batch=1, kv_quant=True)
+    ops = {op.op_type for op in dec.graph.operators}
+    assert "MatMulWOQ" in ops and "AttentionKVCacheQ8" in ops
+    assert "MatMul" not in ops          # every projection is quantized
+    got = graph_greedy_decode(dec, first_token=7, n_steps=8, start_pos=0)
+    assert list(got[0]) == want
+
+
+def test_graph_decode_quantized_onnx_roundtrip():
+    """The quantized GQA decode graph survives ONNX export -> import
+    (MatMulWOQ / AttentionKVCacheQ8 under the custom domain, int8
+    initializers) and decodes identically."""
+    from infinitensor_tpu.models.llama import quantize_llama_params
+    from infinitensor_tpu.onnx.exporter import export_onnx
+    from infinitensor_tpu.onnx.importer import OnnxStub
+
+    params = init_llama_params(GQA_CFG, jax.random.PRNGKey(13),
+                               dtype=jnp.float32)
+    qparams = quantize_llama_params(params, bits=4, group_size=128)
+    dec = build_llama_decoder(qparams, GQA_CFG, batch=1, kv_quant=True)
+    want = graph_greedy_decode(dec, first_token=9, n_steps=6, start_pos=0)
+
+    stub = OnnxStub(export_onnx(dec.graph, "llama_woq").serialize())
+    names = {t.name for t in stub.handler.graph.tensors}
+    for n in ([dec.token_name, dec.pos_name, dec.logits_name]
+              + dec.k_in + dec.v_in + dec.ks_in + dec.vs_in
+              + dec.k_out + dec.v_out + dec.ks_out + dec.vs_out):
+        assert n in names, f"tensor name {n} lost in ONNX round-trip"
+    dec2 = type(dec)(handler=None, cfg=GQA_CFG, batch=1,
+                     max_seq=GQA_CFG.max_seq, token_name=dec.token_name,
+                     pos_name=dec.pos_name, logits_name=dec.logits_name,
+                     k_in=dec.k_in, v_in=dec.v_in, k_out=dec.k_out,
+                     v_out=dec.v_out, ks_in=dec.ks_in, vs_in=dec.vs_in,
+                     ks_out=dec.ks_out, vs_out=dec.vs_out)
+    ex = GraphExecutor(stub.handler.graph)
+    got = graph_greedy_decode(dec2, first_token=9, n_steps=6, start_pos=0,
+                              executor=ex)
+    assert list(got[0]) == list(want[0])
+
+
+def test_fused_greedy_decode_matches_stepper():
+    """The single-executable multi-step scan (make_fused_greedy_decode)
+    produces the stepper's exact token stream across chained calls."""
+    from infinitensor_tpu.models.graph_llama import make_fused_greedy_decode
+    from infinitensor_tpu.models.llama import quantize_llama_params
+
+    params = init_llama_params(GQA_CFG, jax.random.PRNGKey(21),
+                               dtype=jnp.float32)
+    qparams = quantize_llama_params(params, bits=8, group_size=128)
+    dec = build_llama_decoder(qparams, GQA_CFG, batch=1, kv_quant=True)
+    want = graph_greedy_decode(dec, first_token=4, n_steps=8, start_pos=0)
+
+    fn, weights, state = make_fused_greedy_decode(dec, multi=4)
+    t1, state = fn(weights, jnp.array([4], jnp.int32),
+                   jnp.array([0], jnp.int32), state)
+    t2, state = fn(weights, t1[:, -1], jnp.array([4], jnp.int32), state)
+    got = np.concatenate([np.asarray(t1), np.asarray(t2)], axis=1)
+    assert list(got[0]) == list(want[0])

@@ -241,6 +241,21 @@ def _build(op_type, h, rng):
             h.input((1, 2, 1, 8), name="k"),
             h.input((1, 2, 1, 8), name="v"),
             h.weight(np.array([3], np.int32))),
+        "AttentionKVCacheQ8": lambda: h.attention_kvcache_q8(
+            h.input((1, 2, 16, 8), dtype=dt.INT8, name="kc"),
+            h.input((1, 2, 16, 8), dtype=dt.INT8, name="vc"),
+            h.input((1, 2, 16), name="ks"),
+            h.input((1, 2, 16), name="vs"),
+            h.input((1, 4, 1, 8), name="q"),        # GQA: H=4, Hkv=2
+            h.input((1, 2, 1, 8), name="k"),
+            h.input((1, 2, 1, 8), name="v"),
+            h.weight(np.array([3], np.int32))),
+        "MatMulWOQ": lambda: h.matmul_woq(
+            h.input((2, 256), name="x"),
+            h.weight(rng.integers(-127, 127, (256, 8)).astype(np.int8)),
+            h.weight(rng.uniform(0.01, 0.1, (2, 8)).astype(F)),
+            bits=8, group_size=128,
+            norm_weight=h.weight(rng.uniform(0.5, 1.5, (256,)).astype(F))),
         "ScatterElements": lambda: h._add(
             "ScatterElements",
             [x48(), h.weight(np.array([[0, 1]], np.int32)),
