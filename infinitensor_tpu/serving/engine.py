@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from collections import deque
+import time
+from collections import defaultdict, deque
 from typing import Callable, Optional
 
 import jax
@@ -132,7 +133,7 @@ class ServingEngine:
                  decode_chunk: int = 1, kv_quant: bool = False,
                  mesh=None, param_specs=None, cache_specs=None,
                  spec_decode: int = 0, verify_fn=None, draft=None,
-                 checkpoint_interval: int = 0):
+                 checkpoint_interval: int = 0, pipeline_depth: int = 1):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
@@ -185,6 +186,10 @@ class ServingEngine:
         # program is reused across slots (a static slot arg was recompiling a
         # 2L-buffer program per slot — 30s+ per admission on the real chip)
         self._prefill_slot: dict[int, Callable] = {}
+        # batched admission: one fused multi-request prefill per
+        # (bucket, pow2-lane-count) — a whole admission wave lands in ONE
+        # launch instead of one per request
+        self._prefill_batch: dict[tuple, Callable] = {}
         # decode: greedy argmax inside the launch (one round-trip per step)
         self._decode = jax.jit(
             lambda p, t, ps, c: (lambda lg, cc: (
@@ -242,6 +247,17 @@ class ServingEngine:
                 donate_argnums=3)
         self.steps = 0
         self.tokens_out = 0
+        # launch-pipelining: dispatch up to `pipeline_depth` fused decode
+        # chunks back-to-back and fetch their tokens ONCE at the end of
+        # the group — JAX async dispatch overlaps the per-launch tunnel
+        # round-trip with on-device compute of the previous chunk. The
+        # group never outruns the shortest request's remaining budget, so
+        # the only waste is the existing within-chunk eos truncation.
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        # utilization budget (docs/SERVING_BUDGET.json): wall-time slices
+        # of the serving loop — prefill (launch+fetch), decode dispatch,
+        # decode fetch (device compute drains here), host bookkeeping.
+        self.stats: dict = defaultdict(float)
 
         # fault tolerance: when checkpoint_interval > 0, step() snapshots
         # the full serving state to HOST memory every N steps and any
@@ -313,26 +329,96 @@ class ServingEngine:
         self._prefill_slot[bucket] = f
         return f
 
+    def _prefill_batch_fn(self, bucket: int, n: int) -> Callable:
+        """One fused (n-request prefill -> n slot writes -> n first
+        tokens) program per (bucket, lane count): an admission WAVE costs
+        one launch + one fetch, not one per request. Lane counts are
+        rounded up to powers of two (pad lanes duplicate lane 0 — an
+        idempotent rewrite of the same slot) so at most log2(B)+1
+        programs compile per bucket. The per-request launch round-trip
+        was the serving engine's largest overhead slice
+        (docs/SERVING_BUDGET.json)."""
+        key = (bucket, n)
+        fn = self._prefill_batch.get(key)
+        if fn is not None:
+            return fn
+        cfg, prefill_fn, init_cache = self.cfg, self._prefill_fn, \
+            self._init_cache
+
+        @functools.partial(
+            jax.jit, donate_argnums=2,
+            out_shardings=(self._rep, self._kv_sh)
+            if self._multihost else None)
+        def f(params, toks, cache, slots, plens):
+            pcache = init_cache(cfg, n, max_seq=bucket,
+                                dtype=cache["k"][0].dtype)
+            logits, pcache = prefill_fn(params, cfg, toks, pcache)
+            for i in range(n):
+                seg = {key2: [buf[i:i + 1] for buf in pcache[key2]]
+                       for key2 in pcache}
+                cache = merge_prefill_into_slot(cache, seg, slots[i])
+            first = jnp.argmax(logits[jnp.arange(n), plens - 1], axis=-1
+                               ).astype(jnp.int32)
+            return first, cache
+
+        self._prefill_batch[key] = f
+        return f
+
     def _admit(self) -> None:
-        for slot in range(self.B):
-            if self.slots[slot] is not None or not self.pending:
-                continue
-            req = self.pending.popleft()
-            S = len(req.prompt)
-            bucket = self._bucket(S)
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :S] = req.prompt
-            first, self.cache = self._prefill_slot_fn(bucket)(
-                self.params, self._dev(toks), self.cache,
-                self._dev(jnp.int32(slot)), self._dev(jnp.int32(S)))
-            first = int(first)
-            req.generated.append(first)
-            self.slots[slot] = req
-            self.pos[slot] = S
-            self.last_token[slot] = first
-            self.tokens_out += 1
-            _log.info("admit", uid=req.uid, slot=slot, prompt_len=S,
-                      bucket=bucket)
+        while self.pending:
+            free = [s for s in range(self.B) if self.slots[s] is None]
+            if not free:
+                return
+            take = []
+            while self.pending and len(take) < len(free):
+                take.append(self.pending.popleft())
+            by_bucket: dict[int, list] = {}
+            for req in take:
+                by_bucket.setdefault(
+                    self._bucket(len(req.prompt)), []).append(req)
+            for bucket, reqs in by_bucket.items():
+                n = len(reqs)
+                # lane counts come from {1, 4, B}: three programs per
+                # bucket bound compile count; pad lanes waste <=
+                # (npad/n)x prefill compute, still far cheaper than
+                # per-request launches
+                for npad in (1, min(4, self.B), self.B):
+                    if npad >= n:
+                        break
+                wave_slots = [free.pop(0) for _ in range(n)]
+                toks = np.zeros((npad, bucket), np.int32)
+                slots_arr = np.zeros((npad,), np.int32)
+                plens = np.ones((npad,), np.int32)
+                for i, req in enumerate(reqs):
+                    S = len(req.prompt)
+                    toks[i, :S] = req.prompt
+                    slots_arr[i] = wave_slots[i]
+                    plens[i] = S
+                for i in range(n, npad):    # duplicate lane 0 (idempotent)
+                    toks[i] = toks[0]
+                    slots_arr[i] = slots_arr[0]
+                    plens[i] = plens[0]
+                t0 = time.perf_counter()
+                first, self.cache = self._prefill_batch_fn(bucket, npad)(
+                    self.params, self._dev(toks), self.cache,
+                    self._dev(slots_arr), self._dev(plens))
+                first = np.asarray(first, np.int32)
+                self.stats["prefill_s"] += time.perf_counter() - t0
+                self.stats["prefill_launches"] += 1
+                self.stats["prefill_tokens"] += float(
+                    sum(len(r.prompt) for r in reqs))
+                self.stats["prefill_lane_tokens"] += float(npad * bucket)
+                for i, req in enumerate(reqs):
+                    slot = wave_slots[i]
+                    tok = int(first[i])
+                    req.generated.append(tok)
+                    self.slots[slot] = req
+                    self.pos[slot] = len(req.prompt)
+                    self.last_token[slot] = tok
+                    self.tokens_out += 1
+                    _log.info("admit", uid=req.uid, slot=slot,
+                              prompt_len=len(req.prompt), bucket=bucket,
+                              wave=n)
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
@@ -519,30 +605,62 @@ class ServingEngine:
         chunk = self.decode_chunk
         if chunk > 1 and int(self.pos[active].max()) + chunk + 1 < \
                 self.cfg.max_seq:
-            toks, last, newpos, self.cache = self._decode_multi(
-                self.params, token, pos, self.cache)
-            toks = np.asarray(toks, np.int32)
-            self.steps += chunk
+            # pipeline depth: how many chunks can run before the host
+            # MUST look at the tokens (shortest remaining budget /
+            # max_seq guard); capped at 2 while requests wait so
+            # admission isn't starved
+            depth = self.pipeline_depth
+            if depth > 1:
+                horizon = min(self.slots[s].max_new_tokens -
+                              len(self.slots[s].generated)
+                              for s in active)
+                depth = max(1, min(depth, horizon // chunk))
+                if self.pending:
+                    depth = min(depth, 2)
+                while depth > 1 and int(self.pos[active].max()) + \
+                        depth * chunk + 1 >= self.cfg.max_seq:
+                    depth -= 1
+            t0 = time.perf_counter()
+            groups = []
+            for _ in range(depth):
+                toks, token, pos, self.cache = self._decode_multi(
+                    self.params, token, pos, self.cache)
+                groups.append(toks)
+            self.stats["decode_dispatch_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            toks = np.concatenate(
+                [np.asarray(t, np.int32) for t in groups], axis=1)
+            self.stats["decode_fetch_s"] += time.perf_counter() - t0
+            self.stats["decode_launches"] += depth
+            span = chunk * depth
+            self.steps += span
+            t0 = time.perf_counter()
             for slot in active:
                 req = self.slots[slot]
-                for j in range(chunk):
+                for j in range(span):
                     tok = int(toks[slot, j])
                     req.generated.append(tok)
                     self.tokens_out += 1
                     if (req.eos_id is not None and tok == req.eos_id) or \
                             len(req.generated) >= req.max_new_tokens:
                         break
-                self.pos[slot] += chunk
-                self.last_token[slot] = int(toks[slot, chunk - 1])
+                self.pos[slot] += span
+                self.last_token[slot] = int(toks[slot, span - 1])
                 req_done = (len(req.generated) >= req.max_new_tokens or
                             (req.eos_id is not None and
                              req.eos_id in req.generated) or
                             self.pos[slot] + 1 >= self.cfg.max_seq)
                 if req_done:
                     self._retire(slot)
+            self.stats["decode_host_s"] += time.perf_counter() - t0
             return len([r for r in self.slots if r is not None])
+        t0 = time.perf_counter()
         nxt, self.cache = self._decode(self.params, token, pos, self.cache)
+        self.stats["decode_dispatch_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         nxt = np.asarray(nxt, np.int32)
+        self.stats["decode_fetch_s"] += time.perf_counter() - t0
+        self.stats["decode_launches"] += 1
         self.steps += 1
         for slot in active:
             req = self.slots[slot]
@@ -564,17 +682,21 @@ class ServingEngine:
         taking traffic; calling this keeps compile time out of throughput
         measurements."""
         for bucket in self.prefill_buckets:
-            self.submit([1] * min(2, bucket),
-                        max_new_tokens=max(2, self.decode_chunk))
             # a bucket can equal max_seq (the fallback bucket); the
-            # longest admissible prompt still compiles that bucket
-            self.submit([1] * min(bucket, self.cfg.max_seq - 1),
-                        max_new_tokens=max(2, self.decode_chunk))
-        self.run_to_completion()
+            # longest admissible prompt still selects that bucket
+            plen = min(bucket, self.cfg.max_seq - 1)
+            # prime every batched-admission lane count ({1, 4, B} per
+            # bucket) so no prefill program compiles mid-measurement
+            for wave in sorted({1, min(4, self.B), self.B}):
+                for _ in range(wave):
+                    self.submit([1] * plen,
+                                max_new_tokens=max(2, self.decode_chunk))
+                self.run_to_completion()
         self.steps = 0
         self.tokens_out = 0
         self.pos[:] = 0
         self.last_token[:] = 0
+        self.stats.clear()
 
     def run_to_completion(self, max_steps: int = 10_000) -> None:
         for _ in range(max_steps):

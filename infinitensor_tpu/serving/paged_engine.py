@@ -76,7 +76,8 @@ class PagedServingEngine(ServingEngine):
                  prefill_buckets: tuple = (32, 128, 512),
                  prefill_fn=None, decode_fn=None, decode_chunk: int = 1,
                  kv_quant: bool = False, mesh=None, param_specs=None,
-                 cache_specs=None, checkpoint_interval: int = 0):
+                 cache_specs=None, checkpoint_interval: int = 0,
+                 pipeline_depth: int = 1):
         self.page_size = int(page_size)
         self.kv_quant = bool(kv_quant)
         # prefill buckets must be page-aligned for the scatter
@@ -92,7 +93,8 @@ class PagedServingEngine(ServingEngine):
                          decode_fn, make_cache, decode_chunk,
                          kv_quant=False, mesh=mesh, param_specs=param_specs,
                          cache_specs=cache_specs,
-                         checkpoint_interval=checkpoint_interval)
+                         checkpoint_interval=checkpoint_interval,
+                         pipeline_depth=pipeline_depth)
         mp = int(self.cache["block_table"].shape[1])
         # page 0 reserved as the trash page: allocator hands out 1..N-1
         self.allocator = PageAllocator(n_pages, max_slots, mp)
@@ -130,32 +132,73 @@ class PagedServingEngine(ServingEngine):
                    self.allocator.max_pages)
 
     def _admit(self) -> None:
-        for slot in range(self.B):
-            if self.slots[slot] is not None or not self.pending:
-                continue
-            req = self.pending[0]
-            need = max(self._pages_for(req),
-                       self._bucket(len(req.prompt)) // self.page_size)
-            if not self.allocator.can_alloc(need):
-                return          # pool exhausted: FIFO waits for reclaim
-            self.pending.popleft()
-            self.allocator.alloc(slot, need)
-            row = np.asarray(self.allocator.table_row(slot), np.int32)
-            self.cache["block_table"] = \
-                self.cache["block_table"].at[slot].set(jnp.asarray(row))
-
-            S = len(req.prompt)
-            bucket = self._bucket(S)
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :S] = req.prompt
-            first, self.cache = self._prefill_slot_fn(bucket)(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.asarray(row), jnp.int32(S))
-            req.generated.append(int(first))
-            self.slots[slot] = req
-            self.pos[slot] = S
-            self.last_token[slot] = int(first)
-            self.tokens_out += 1
+        """Batched admission over the page pool: page-allocate a wave of
+        pending requests host-side (FIFO, stopping at pool exhaustion),
+        write their block-table rows in ONE device update, and prefill +
+        scatter the whole wave in ONE launch (base-class batched-
+        admission discipline; see ServingEngine._prefill_batch_fn)."""
+        import time as _time
+        while self.pending:
+            free = [s for s in range(self.B) if self.slots[s] is None]
+            if not free:
+                return
+            taken = []              # (req, slot, row)
+            while self.pending and len(taken) < len(free):
+                req = self.pending[0]
+                need = max(self._pages_for(req),
+                           self._bucket(len(req.prompt)) // self.page_size)
+                if not self.allocator.can_alloc(need):
+                    break           # pool exhausted: FIFO waits
+                self.pending.popleft()
+                slot = free[len(taken)]
+                self.allocator.alloc(slot, need)
+                row = np.asarray(self.allocator.table_row(slot), np.int32)
+                taken.append((req, slot, row))
+            if not taken:
+                return
+            slots_arr = np.asarray([s for _, s, _ in taken], np.int32)
+            rows_arr = np.stack([r for _, _, r in taken])
+            self.cache["block_table"] = self.cache["block_table"].at[
+                jnp.asarray(slots_arr)].set(jnp.asarray(rows_arr))
+            by_bucket: dict[int, list] = {}
+            for rec in taken:
+                by_bucket.setdefault(
+                    self._bucket(len(rec[0].prompt)), []).append(rec)
+            for bucket, recs in by_bucket.items():
+                n = len(recs)
+                for npad in (1, min(4, self.B), self.B):
+                    if npad >= n:
+                        break
+                toks = np.zeros((npad, bucket), np.int32)
+                rows = np.zeros((npad,) + rows_arr.shape[1:], np.int32)
+                plens = np.ones((npad,), np.int32)
+                for i, (req, _, row) in enumerate(recs):
+                    S = len(req.prompt)
+                    toks[i, :S] = req.prompt
+                    rows[i] = row
+                    plens[i] = S
+                for i in range(n, npad):    # duplicate lane 0 (idempotent)
+                    toks[i] = toks[0]
+                    rows[i] = rows[0]
+                    plens[i] = plens[0]
+                t0 = _time.perf_counter()
+                first, self.cache = self._prefill_batch_pages_fn(
+                    bucket, npad)(self.params, jnp.asarray(toks),
+                                  self.cache, jnp.asarray(rows),
+                                  jnp.asarray(plens))
+                first = np.asarray(first, np.int32)
+                self.stats["prefill_s"] += _time.perf_counter() - t0
+                self.stats["prefill_launches"] += 1
+                self.stats["prefill_tokens"] += float(
+                    sum(len(r.prompt) for r, _, _ in recs))
+                self.stats["prefill_lane_tokens"] += float(npad * bucket)
+                for i, (req, slot, _) in enumerate(recs):
+                    tok = int(first[i])
+                    req.generated.append(tok)
+                    self.slots[slot] = req
+                    self.pos[slot] = len(req.prompt)
+                    self.last_token[slot] = tok
+                    self.tokens_out += 1
 
     def _retire(self, slot: int) -> None:
         super()._retire(slot)
@@ -176,6 +219,34 @@ class PagedServingEngine(ServingEngine):
         self.allocator.owned = [list(o) for o in snap["allocator"]["owned"]]
 
     # -- prefill --------------------------------------------------------
+    def _prefill_batch_pages_fn(self, bucket: int, n: int):
+        """Batched (n-request dense prefill -> n page scatters -> n first
+        tokens) program per (bucket, lane count)."""
+        key = (bucket, n)
+        fn = self._prefill_batch.get(key)
+        if fn is not None:
+            return fn
+        cfg, prefill_fn = self.cfg, self._prefill_fn
+        page_size, kv_quant = self.page_size, self.kv_quant
+
+        @functools.partial(jax.jit, donate_argnums=2)
+        def f(params, toks, cache, rows, plens):
+            dtype = None if kv_quant else cache["k_pages"][0].dtype
+            pcache = init_kv_cache(cfg, n, max_seq=bucket, dtype=dtype,
+                                   kv_quant=kv_quant)
+            logits, pcache = prefill_fn(params, cfg, toks, pcache)
+            for i in range(n):
+                seg = {k2: [buf[i:i + 1] for buf in pcache[k2]]
+                       for k2 in pcache}
+                cache = scatter_prefill_into_pages(cache, seg, rows[i],
+                                                   page_size)
+            first = jnp.argmax(logits[jnp.arange(n), plens - 1], axis=-1
+                               ).astype(jnp.int32)
+            return first, cache
+
+        self._prefill_batch[key] = f
+        return f
+
     def _prefill_slot_fn(self, bucket: int):
         """Fused (dense prefill -> page scatter -> first token) program per
         bucket; the traced block-table row makes it slot-agnostic."""

@@ -237,3 +237,60 @@ def test_engine_sharded_snapshot_resume(cfg, params):
     b.run_to_completion()
     got = [handles[50 + i].generated for i in range(len(prompts))]
     assert got == want
+
+
+def test_pipelined_chunk_decode_same_tokens(cfg, params):
+    """pipeline_depth > 1 (multiple fused chunks dispatched before the
+    host looks at tokens) emits exactly the tokens of the unpipelined
+    engine, including eos early-stop truncation."""
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, 100, n)) for n in (4, 6, 3, 5)]
+
+    def run(depth):
+        eng = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(8,),
+                            decode_chunk=2, pipeline_depth=depth)
+        reqs = [eng.submit(list(p), max_new_tokens=9, eos_id=17)
+                for p in prompts]
+        eng.run_to_completion()
+        return [list(r.generated) for r in reqs], eng
+
+    want, _ = run(1)
+    got, eng = run(4)
+    assert got == want
+    assert eng.stats["decode_launches"] > 0
+
+
+def test_batched_admission_single_launch_per_wave(cfg, params):
+    """An admission wave of n requests in the same bucket costs ONE
+    prefill launch (the per-request launch round-trip was the serving
+    engine's biggest overhead slice)."""
+    rng = np.random.default_rng(4)
+    prompts = [list(rng.integers(1, 100, 5)) for _ in range(4)]
+    eng = ServingEngine(params, cfg, max_slots=4, prefill_buckets=(8,))
+    reqs = [eng.submit(list(p), max_new_tokens=4) for p in prompts]
+    eng.step()
+    assert eng.stats["prefill_launches"] == 1       # one wave, 4 requests
+    eng.run_to_completion()
+    assert all(r.done for r in reqs)
+
+    # parity vs straight-line
+    for p, r in zip(prompts, reqs):
+        out, _ = greedy_generate(params, cfg,
+                                 jnp.asarray([p], jnp.int32), n_steps=4)
+        assert list(r.generated) == list(np.asarray(out[0]))
+
+
+def test_serving_stats_budget_slices(cfg, params):
+    """The utilization-budget counters cover the step loop: prefill,
+    decode dispatch/fetch, host bookkeeping, token counts."""
+    eng = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(8,),
+                        decode_chunk=2)
+    eng.submit([1, 2, 3], max_new_tokens=4)
+    eng.run_to_completion()
+    s = eng.stats
+    assert s["prefill_launches"] >= 1
+    assert s["prefill_tokens"] == 3
+    assert s["decode_launches"] >= 1
+    for k in ("prefill_s", "decode_dispatch_s", "decode_fetch_s",
+              "decode_host_s"):
+        assert s[k] >= 0.0

@@ -38,10 +38,14 @@ def main():
     # 16 slots: 974.5 tok/s vs 896.8 at 8 (weights amortize further;
     # spread 3.7%) — the default serving geometry
     slots = int(os.environ.get("SERVE_SLOTS", "16"))
+    # pipeline_depth 4: dispatch up to 4 fused chunks before fetching
+    # tokens — overlaps the ~27 ms tunnel launch with on-device compute
+    pipeline = int(os.environ.get("SERVE_PIPELINE", "4"))
     eng = ServingEngine(params, cfg, max_slots=slots,
                         prefill_buckets=(64, 256),
                         prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
-                        init_cache_fn=init_gpt2_cache, decode_chunk=chunk)
+                        init_cache_fn=init_gpt2_cache, decode_chunk=chunk,
+                        pipeline_depth=pipeline)
     t0 = time.time()
     eng.warmup()
     warmup_s = time.time() - t0
@@ -58,13 +62,19 @@ def main():
     # noise, not prompt-length resampling
     lens = rng.integers(16, 250, n_req)
     prompts = [list(rng.integers(1, 50000, int(n))) for n in lens]
+    stats = None
     for _ in range(max(1, reps)):
         base_tokens, base_steps = eng.tokens_out, eng.steps
+        eng.stats.clear()
         reqs = [eng.submit(list(p), max_new_tokens=64) for p in prompts]
         t0 = time.time()
         eng.run_to_completion()
         dt = time.time() - t0
-        samples.append(round((eng.tokens_out - base_tokens) / dt, 1))
+        sample = round((eng.tokens_out - base_tokens) / dt, 1)
+        if not samples or sample >= max(samples):
+            stats = {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in eng.stats.items()}
+        samples.append(sample)
         all_done &= all(r.done for r in reqs)
         steps = eng.steps - base_steps
         wall = dt
@@ -82,6 +92,8 @@ def main():
         "build_s": round(build_s, 1),
         "warmup_s": round(warmup_s, 1),
         "decode_chunk": chunk,
+        "pipeline_depth": pipeline,
+        "stats": stats,
     }
     print(json.dumps(result))
     assert all_done
