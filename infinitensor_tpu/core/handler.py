@@ -56,6 +56,15 @@ class GraphHandler:
         t.set_data(np.asarray(data))
         return t
 
+    def weight_placeholder(self, shape, dtype: DTypeLike, name=None):
+        """WEIGHT tensor with no host data: the value is supplied later via
+        GraphExecutor.set_weight (typically an on-device array — avoids
+        hauling large weights through host memory; the reference reaches
+        the same with Tensor::setDataBlob on device blobs,
+        include/core/tensor.h:20-163)."""
+        return self.tensor(tuple(shape), _as_dtype(dtype), name,
+                           TensorRole.WEIGHT)
+
     # ------------------------------------------------------------------
     # generic op insertion
     # ------------------------------------------------------------------

@@ -64,7 +64,9 @@ class GraphLlamaDecoder:
 def build_llama_decoder(params: dict, cfg: LlamaConfig, batch: int = 1,
                         max_seq: Optional[int] = None,
                         name: str = "llama_decoder",
-                        kv_quant: bool = False) -> GraphLlamaDecoder:
+                        kv_quant: bool = False,
+                        external_weights: bool = False
+                        ) -> GraphLlamaDecoder:
     """Build the one-token decode graph from a models/llama.py param
     pytree. Accepts BOTH layouts:
 
@@ -95,9 +97,20 @@ def build_llama_decoder(params: dict, cfg: LlamaConfig, batch: int = 1,
     act_dt = dt.DataType.from_numpy(np_act)
 
     def w(arr, wname):
+        if external_weights:
+            # shape/dtype only — the value is bound on-device later via
+            # GraphExecutor.set_weight (no host round trip for big params)
+            return h.weight_placeholder(np.shape(arr), act_dt, name=wname)
         return h.weight(np.asarray(arr, np_act), name=wname)
 
     def wq_tensors(q: QuantizedLinear, prefix):
+        if external_weights:
+            qw = h.weight_placeholder(q.qweight.shape, dt.INT8,
+                                      name=f"{prefix}.qweight")
+            sc = h.weight_placeholder(
+                q.scales.shape, dt.DataType.from_numpy(
+                    np.dtype(q.scales.dtype)), name=f"{prefix}.scales")
+            return qw, sc
         qw = h.weight(np.asarray(q.qweight), name=f"{prefix}.qweight")
         sc = h.weight(np.asarray(q.scales), name=f"{prefix}.scales")
         return qw, sc
@@ -313,6 +326,31 @@ class GraphLlamaServingAdapter:
         import jax.numpy as jnp
         return init_kv_cache(cfg, batch, max_seq=max_seq,
                              dtype=dtype or jnp.float32)
+
+
+def bind_llama_weights(dec: GraphLlamaDecoder, executor, params: dict
+                       ) -> None:
+    """Bind a models/llama.py param pytree (float or quantized) onto a
+    decoder built with external_weights=True. Values may be on-device jax
+    arrays — set_weight adopts them without a host round trip."""
+    from infinitensor_tpu.quant.weight_only import QuantizedLinear
+
+    def put_lin(prefix, v):
+        if isinstance(v, QuantizedLinear):
+            executor.set_weight(f"{prefix}.qweight", v.qweight)
+            executor.set_weight(f"{prefix}.scales", v.scales)
+        else:
+            executor.set_weight(prefix, v)
+
+    executor.set_weight("embed", params["embed"])
+    executor.set_weight("final_norm", params["final_norm"])
+    put_lin("lm_head", params["lm_head"])
+    for i, layer in enumerate(params["layers"]):
+        for k, v in layer.items():
+            if k in ("attn_norm", "mlp_norm"):
+                executor.set_weight(f"l{i}.{k}", v)
+            else:
+                put_lin(f"l{i}.{k}", v)
 
 
 # ---------------------------------------------------------------------------

@@ -70,11 +70,25 @@ class GraphExecutor:
     # ------------------------------------------------------------------
     def _weight_arrays(self):
         if self._weight_vals is None:
-            self._weight_vals = {n: _to_jax(t) for n, t in self._weights.items()}
+            self._weight_vals = {}
+        for n, t in self._weights.items():
+            if n not in self._weight_vals:
+                if not t.has_data():
+                    raise ValueError(
+                        f"weight '{n}' is a placeholder with no data; "
+                        f"supply it with set_weight() before running")
+                self._weight_vals[n] = _to_jax(t)
         return self._weight_vals
 
     def set_weight(self, name: str, value) -> None:
-        self._weight_arrays()[name] = jnp.asarray(value)
+        """Bind a weight value (host or ON-DEVICE array — device arrays
+        are adopted without a host round trip). Works for placeholder
+        weights created by GraphHandler.weight_placeholder."""
+        if name not in self._weights:
+            raise KeyError(f"no weight tensor named '{name}'")
+        if self._weight_vals is None:
+            self._weight_vals = {}
+        self._weight_vals[name] = jnp.asarray(value)
 
     def _forward(self, input_vals: dict[str, Any], weight_vals: dict[str, Any]):
         """Trace the graph: evaluate ops in topo order (traced once by jit)."""

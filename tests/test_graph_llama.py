@@ -248,3 +248,28 @@ def test_fused_greedy_decode_matches_stepper():
     t2, state = fn(weights, t1[:, -1], jnp.array([4], jnp.int32), state)
     got = np.concatenate([np.asarray(t1), np.asarray(t2)], axis=1)
     assert list(got[0]) == list(want[0])
+
+
+def test_external_weights_device_binding():
+    """external_weights=True builds the graph from shapes only; values
+    bound via bind_llama_weights (device arrays, no host copy) decode
+    identically to the data-carrying graph."""
+    from infinitensor_tpu.models.graph_llama import bind_llama_weights
+    from infinitensor_tpu.models.llama import quantize_llama_params
+
+    params = init_llama_params(GQA_CFG, jax.random.PRNGKey(31),
+                               dtype=jnp.float32)
+    qparams = quantize_llama_params(params, bits=8, group_size=128)
+    dec = build_llama_decoder(qparams, GQA_CFG, batch=1, kv_quant=True)
+    want = graph_greedy_decode(dec, first_token=6, n_steps=6, start_pos=0)
+
+    dec2 = build_llama_decoder(qparams, GQA_CFG, batch=1, kv_quant=True,
+                               external_weights=True)
+    ex = GraphExecutor(dec2.graph)
+    with pytest.raises(ValueError, match="placeholder"):
+        graph_greedy_decode(dec2, first_token=6, n_steps=1, start_pos=0,
+                            executor=ex)
+    bind_llama_weights(dec2, ex, qparams)
+    got = graph_greedy_decode(dec2, first_token=6, n_steps=6, start_pos=0,
+                              executor=ex)
+    assert list(got[0]) == list(want[0])

@@ -97,8 +97,18 @@ def main():
         return (best[N_HI] - best[N_LO]) / (N_HI - N_LO)
 
     # ---- HBM calibration (same as bench: chunk-variant-free default) ----
+    from bench import measure_chip_peak_bw
     hbm = measure_hbm_bw(params, cfg, 1)
-    emit("hbm_calibration", {"gbps": round(hbm / 1e9, 1)})
+    emit("hbm_calibration", {
+        "gbps": round(hbm / 1e9, 1),
+        "method": "bench.measure_hbm_bw: repo's own dequant kernels, "
+                  "12-pass chained diff, min-of-3, host fetch"})
+    chip = measure_chip_peak_bw(params)
+    emit("chip_peak_stream", {
+        "gbps": round(chip / 1e9, 1),
+        "method": "bench.measure_chip_peak_bw: pure abs-sum reduction "
+                  "over the same weight buffers (no dequant/matmul) — "
+                  "the independent denominator of the dual roofline"})
 
     # ---- per-shape quant_matmul, both variants --------------------------
     kvd = cfg.n_kv_heads * cfg.head_dim
