@@ -58,8 +58,11 @@ def measure(cfg, batch, S, reps=3):
     np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:4])
 
     # chained two-point: n prefills in ONE executable, each pass's input
-    # tokens perturbed by the previous pass's logits so XLA cannot CSE
-    def chained(tokens, n):
+    # tokens perturbed by the previous pass's logits so XLA cannot CSE.
+    # params flow through jit ARGUMENTS — a closure-captured 13.5 GB
+    # param tree becomes HLO constants and stalls the remote compiler
+    # (CLAUDE.md jit-closure-constants)
+    def chained(params, tokens, n):
         def body(i, carry):
             toks, acc = carry
             cache = init_kv_cache(cfg, batch, max_seq=S, dtype=jnp.bfloat16)
@@ -71,17 +74,17 @@ def measure(cfg, batch, S, reps=3):
                                       (tokens, jnp.float32(0)))
         return acc
 
-    f = jax.jit(chained, static_argnames=())
+    f = jax.jit(chained)
     tokens = jnp.ones((batch, S), jnp.int32)
     t0 = time.time()
-    np.asarray(f(tokens, jnp.int32(1)))
+    np.asarray(f(params, tokens, jnp.int32(1)))
     compile_s = time.time() - t0
 
     def run_n(n):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(f(tokens, jnp.int32(n)))
+            np.asarray(f(params, tokens, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
         return best
 
