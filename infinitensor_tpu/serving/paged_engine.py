@@ -229,7 +229,10 @@ class PagedServingEngine(ServingEngine):
         cfg, prefill_fn = self.cfg, self._prefill_fn
         page_size, kv_quant = self.page_size, self.kv_quant
 
-        @functools.partial(jax.jit, donate_argnums=2)
+        @functools.partial(
+            jax.jit, donate_argnums=2,
+            out_shardings=(self._rep, self._kv_sh)
+            if self._multihost else None)
         def f(params, toks, cache, rows, plens):
             dtype = None if kv_quant else cache["k_pages"][0].dtype
             pcache = init_kv_cache(cfg, n, max_seq=bucket, dtype=dtype,
@@ -256,7 +259,10 @@ class PagedServingEngine(ServingEngine):
         cfg, prefill_fn = self.cfg, self._prefill_fn
         page_size, kv_quant = self.page_size, self.kv_quant
 
-        @functools.partial(jax.jit, donate_argnums=2)
+        @functools.partial(
+            jax.jit, donate_argnums=2,
+            out_shardings=(self._rep, self._kv_sh)
+            if self._multihost else None)
         def f(params, toks, cache, row, plen):
             dtype = None if kv_quant else cache["k_pages"][0].dtype
             pcache = init_kv_cache(cfg, 1, max_seq=bucket, dtype=dtype,

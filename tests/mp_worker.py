@@ -35,12 +35,63 @@ from infinitensor_tpu.models.llama import (  # noqa: E402
     LlamaConfig, init_kv_cache, init_llama_params, llama_decode_step)
 
 
+def phase3():
+    """70B-LAYER-GEOMETRY tp=8 x dp=2 sharded PAGED-cache continuous
+    batching across two processes (round-4 verdict item 5 / BASELINE
+    config 5): dim 8192, 64 heads, 8 KV heads, intermediate 28672 — the
+    real Llama-2-70B per-layer shapes — served from a page pool on a
+    16-device mesh whose dp axis crosses the process (DCN-analog)
+    boundary. Tokens must match a mesh-free local paged engine exactly."""
+    from jax.sharding import PartitionSpec as P3
+    from infinitensor_tpu.serving.paged_engine import PagedServingEngine
+
+    devs = jax.devices()
+    assert len(devs) == 16, f"need 16 devices (8/process), got {len(devs)}"
+    mesh = Mesh(np.asarray(devs).reshape(2, 8), ("dp", "tp"))
+
+    cfg = LlamaConfig(vocab_size=512, dim=8192, n_layers=1, n_heads=64,
+                      n_kv_heads=8, intermediate=28672, max_seq=64,
+                      dtype=jnp.float32)
+    params = init_llama_params(cfg, jax.random.PRNGKey(2),
+                               dtype=jnp.float32)
+    L = cfg.n_layers
+    cache_specs = {
+        "k_pages": [P3(None, "tp", None, None)] * L,
+        "v_pages": [P3(None, "tp", None, None)] * L,
+        "block_table": P3(),
+    }
+    kw = dict(max_slots=2, n_pages=9, page_size=16, prefill_buckets=(16,),
+              decode_chunk=2)
+    prompts = [[3, 5, 7], [11, 13, 2, 4]]
+
+    ref = PagedServingEngine(params, cfg, **kw)
+    want = [ref.submit(list(p), max_new_tokens=4, uid=70 + i)
+            for i, p in enumerate(prompts)]
+    ref.run_to_completion()
+    want = [list(r.generated) for r in want]
+    print(f"MP70B_REF rank={rank} tokens={want}", flush=True)
+
+    eng = PagedServingEngine(params, cfg, mesh=mesh,
+                             cache_specs=cache_specs, **kw)
+    assert eng._multihost, "16-device 2-process mesh must be multihost"
+    got = [eng.submit(list(p), max_new_tokens=4, uid=70 + i)
+           for i, p in enumerate(prompts)]
+    eng.run_to_completion()
+    got = [list(r.generated) for r in got]
+    assert got == want, (got, want)
+    print(f"MP70B_OK rank={rank} tokens={got}", flush=True)
+
+
 def main():
     rt = cpu_runtime()
     rt.init_comm("mp-test", world_size=2, rank=rank,
                  coordinator=f"localhost:{port}")
     assert jax.process_count() == 2, jax.process_count()
     assert rt.world_size == 2 and rt.rank == rank
+
+    if os.environ.get("MP_PHASE3"):
+        phase3()
+        return
 
     cfg = LlamaConfig(vocab_size=64, dim=32, n_layers=2, n_heads=4,
                       n_kv_heads=2, intermediate=64, max_seq=16)
