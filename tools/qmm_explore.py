@@ -1,0 +1,225 @@
+"""Decompose the dequant-matmul kernel's time at the slow decode shapes
+(round-4 verdict item 1: wo 464 GB/s, w_down 440-491, wqkv 540-560 vs the
+664-727 the same chip streams on attention/lm_head reads).
+
+For each shape, times kernel VARIANTS that each remove one piece of the
+work, all on the same grid/block geometry, so the gap decomposes into
+DMA ceiling / int4 unpack / MXU dots / scale multiplies / x re-fetch:
+
+  stream   weight DMA + trivial reduce (per-shape DMA ceiling)
+  stream0  same but with NO x operand (x re-fetch cost)
+  nounpack one dot per packed group, bytes used as int8 (no shifts)
+  noscale  full unpack + dots, scale multiplies skipped
+  group    the shipping kernel (unpack + dots + scales)
+  hi4      alt unpack: hi = u>>4; lo = ((u&15)^8)-8  (3 cheap ops vs
+           2 shift pairs)
+  slab     unpack a 2-group slab, ONE dot per 256 rows, scales folded
+           into x columns per slab half (halves MXU call count)
+
+Protocol: runtime-trip-count fori chain (ONE compile per variant), K
+kernel calls per trip with a scalar data dependence, two-point diff,
+min-of-3, host fetch. Writes docs/QMM_EXPLORE.json.
+
+Run: python tools/qmm_explore.py   (real TPU)
+"""
+
+import functools
+import json
+import os
+import sys
+import threading
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+print = functools.partial(print, flush=True)
+
+OUT = os.path.join(_ROOT, "docs", "QMM_EXPLORE.json")
+RESULTS: dict = {}
+
+
+def emit(key, data):
+    RESULTS[key] = data
+    print(f"# {key}: {json.dumps(data)}")
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def make_variant(variant, bn, group_size, rows, din, dout):
+    """Build fn(x, qw, sc) -> [rows, dout] for an int4 split-half packed
+    weight [din//2, dout]."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+
+    g = group_size
+    half = din // 2
+    ng_half = half // g
+
+    def body(x_ref, qw_ref, sc_ref, o_ref):
+        x = x_ref[:, :]
+        acc = jnp.zeros((rows, bn), jnp.float32)
+        if variant in ("stream", "stream0"):
+            s = jnp.sum(qw_ref[:, :].astype(jnp.float32))
+            s = s + jnp.sum(sc_ref[:, :].astype(jnp.float32))
+            if variant == "stream":
+                s = s + jnp.sum(x)
+            o_ref[:, :] = jnp.full((rows, bn), s, jnp.float32
+                                   ).astype(o_ref.dtype)
+            return
+        if variant == "nounpack":
+            for c in range(ng_half):
+                w = qw_ref[c * g:(c + 1) * g, :].astype(jnp.bfloat16)
+                pd = jnp.dot(x[:, c * g:(c + 1) * g], w,
+                             preferred_element_type=jnp.float32)
+                acc = acc + pd * sc_ref[c, :].astype(jnp.float32)[None, :]
+            o_ref[:, :] = acc.astype(o_ref.dtype)
+            return
+        for c in range(ng_half):
+            u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
+            if variant == "hi4":
+                hi = (u >> 4).astype(jnp.bfloat16)
+                lo = (((u & 15) ^ 8) - 8).astype(jnp.bfloat16)
+            else:
+                lo = ((u << 28) >> 28).astype(jnp.bfloat16)
+                hi = ((u << 24) >> 28).astype(jnp.bfloat16)
+            xl = x[:, c * g:(c + 1) * g]
+            xh = x[:, half + c * g:half + (c + 1) * g]
+            if variant == "slab":
+                # ONE [rows, 2g] x [2g, bn] dot per packed group: scales
+                # folded into the x columns is impossible (they vary per
+                # OUTPUT channel), so slab merges the lo/hi dots instead
+                w2 = jnp.concatenate([lo, hi], axis=0)       # [2g, bn]
+                x2 = jnp.concatenate([xl, xh], axis=1)       # [rows, 2g]
+                pd = jnp.dot(x2, w2, preferred_element_type=jnp.float32)
+                # one blended scale row is WRONG numerically unless the
+                # two groups share scales — slab is a perf probe for the
+                # MXU-call-count hypothesis, parity not expected
+                acc = acc + pd * sc_ref[c, :].astype(jnp.float32)[None, :]
+                continue
+            pd_lo = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+            pd_hi = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+            if variant == "noscale":
+                acc = acc + pd_lo + pd_hi
+            else:                       # group (shipping math)
+                acc = acc + \
+                    pd_lo * sc_ref[c, :].astype(jnp.float32)[None, :] + \
+                    pd_hi * sc_ref[ng_half + c, :].astype(
+                        jnp.float32)[None, :]
+        o_ref[:, :] = acc.astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((rows, din), lambda j: (0, 0)),
+        pl.BlockSpec((half, bn), lambda j: (0, j)),
+        pl.BlockSpec((2 * ng_half, bn), lambda j: (0, j)),
+    ]
+    if variant == "stream0":
+        in_specs[0] = pl.BlockSpec((rows, 128), lambda j: (0, 0))
+
+    interp = os.environ.get("QMM_INTERP") == "1"
+
+    def call(x, qw, sc):
+        xin = x[:, :128] if variant == "stream0" else x
+        return pl.pallas_call(
+            body,
+            grid=(dout // bn,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((rows, bn), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((rows, dout), jnp.bfloat16),
+            interpret=interp,
+        )(xin, qw, sc)
+
+    return call
+
+
+def main():
+    def heartbeat():
+        n = 0
+        while True:
+            time.sleep(120)
+            n += 1
+            print(f"# heartbeat {n}")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev = jax.devices()[0]
+    np.asarray(jnp.zeros((1,)))
+    print(f"# device ready: {getattr(dev, 'device_kind', dev.platform)}")
+    threading.Thread(target=heartbeat, daemon=True).start()
+
+    shapes = {
+        "wo": (4096, 4096, (256, 512, 1024)),
+        "w_down": (11008, 4096, (256, 512, 1024)),
+        "wqkv": (4096, 12288, (1536, 1024, 2048)),
+    }
+    only = os.environ.get("QMM_SHAPES")
+    if only:
+        shapes = {k: v for k, v in shapes.items() if k in only.split(",")}
+    variants = os.environ.get(
+        "QMM_VARIANTS",
+        "stream0,stream,nounpack,noscale,group,hi4,slab").split(",")
+    rows, g = 8, 128
+    K = int(os.environ.get("QMM_K", "32"))      # kernel calls per trip
+    N_LO, N_HI = 1, int(os.environ.get("QMM_NHI", "9"))
+
+    for name, (din, dout, bns) in shapes.items():
+        key = jax.random.PRNGKey(1)
+        qw = jax.random.randint(key, (din // 2, dout), -127, 127,
+                                jnp.int8)
+        sc = jax.random.uniform(key, (din // g, dout), jnp.float32,
+                                0.001, 0.02).astype(jnp.bfloat16)
+        x = jax.random.normal(key, (rows, din), jnp.bfloat16)
+        nbytes = int(qw.size) + int(sc.size) * 2
+        for bn in bns:
+            if dout % bn:
+                continue
+            for variant in variants:
+                fn = make_variant(variant, bn, g, rows, din, dout)
+
+                def chained(s, n, x, qw, sc):
+                    def trip(i, a):
+                        acc = a
+                        for _ in range(K):
+                            out = fn(x + acc.astype(jnp.bfloat16), qw, sc)
+                            acc = jnp.sum(out[:1, :8]).astype(
+                                jnp.float32) * 1e-30
+                        return acc
+                    return jax.lax.fori_loop(0, n, trip, s)
+
+                f = jax.jit(chained)
+                try:
+                    np.asarray(f(jnp.float32(0), jnp.int32(1), x, qw, sc))
+                except Exception as e:  # noqa: BLE001
+                    emit(f"{name}:bn{bn}:{variant}",
+                         {"error": repr(e)[:200]})
+                    continue
+
+                def run_n(n):
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        np.asarray(f(jnp.float32(1e-30), jnp.int32(n),
+                                     x, qw, sc))
+                        best = min(best, time.perf_counter() - t0)
+                    return best
+
+                dt = (run_n(N_HI) - run_n(N_LO)) / ((N_HI - N_LO) * K)
+                emit(f"{name}:bn{bn}:{variant}",
+                     {"us": round(dt * 1e6, 2),
+                      "gbps": round(nbytes / dt / 1e9, 1)})
+
+    print(json.dumps({"metric": "qmm explore", "n": len(RESULTS)}))
+
+
+if __name__ == "__main__":
+    if (os.environ.get("BENCH_WATCHDOG", "1") == "1"
+            and not os.environ.get("BENCH_CHILD")):
+        from infinitensor_tpu.utils.watchdog import babysit
+        sys.exit(babysit(
+            [sys.executable, os.path.abspath(__file__)],
+            quiet_s=600.0, gap_s=420.0, attempts=2,
+            env=dict(os.environ, BENCH_CHILD="1")))
+    main()
