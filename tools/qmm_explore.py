@@ -151,9 +151,9 @@ def main():
     threading.Thread(target=heartbeat, daemon=True).start()
 
     shapes = {
-        "wo": (4096, 4096, (256, 512, 1024)),
-        "w_down": (11008, 4096, (256, 512, 1024)),
-        "wqkv": (4096, 12288, (1536, 1024, 2048)),
+        "wo": (4096, 4096, (256, 1024)),
+        "w_down": (11008, 4096, (256,)),
+        "wqkv": (4096, 12288, (1536,)),
     }
     only = os.environ.get("QMM_SHAPES")
     if only:
@@ -162,7 +162,9 @@ def main():
         "QMM_VARIANTS",
         "stream0,stream,nounpack,noscale,group,hi4,slab").split(",")
     rows, g = 8, 128
-    K = int(os.environ.get("QMM_K", "32"))      # kernel calls per trip
+    # K=256 calls/trip: wo at ~15 us/pass needs ~4 ms of signal per trip
+    # to clear tunnel jitter (round-3 lesson: <1 ms/pass sweeps are noise)
+    K = int(os.environ.get("QMM_K", "256"))     # kernel calls per trip
     N_LO, N_HI = 1, int(os.environ.get("QMM_NHI", "9"))
 
     for name, (din, dout, bns) in shapes.items():

@@ -1,0 +1,248 @@
+"""Hardened INT4/INT8 accuracy instrument (round-4 verdict item 6).
+
+The round-3 gate certified quantization on an easy order-2 Markov task
+(fp32 ppl 1.43 over a 1.22 floor): the INT4 gate (<=0.5 ppl) had ~28x
+slack. v2 raises task entropy until the instrument can actually fail:
+
+  corpus  mixture of G=4 latent order-2 grammars (the model must infer
+          which grammar from context), each (a, b) context drawing from
+          4 successors at probs (0.4, 0.3, 0.2, 0.1), PLUS a 10% chance
+          the next token is a CALLBACK — a copy of the token exactly 16
+          positions back (long-range attention dependency). Oracle
+          entropy floor ~= 3.1 ppl (reported measured, not assumed).
+
+  teeth   two deliberately bad quantizers run through the same gate:
+          int4_naive (per-tensor absmax, no groups, no clip search) and
+          int3 RTN. The instrument is certified only if at least one of
+          them FAILS the 0.5 gate that the production INT4 passes.
+
+  deltas  absolute and relative, matched-RMS noise control, two sizes.
+
+Reuses the trainer/eval stack of tools/train_gate_lm.py (everything runs
+through the REAL inference path: llama_prefill + quantize_llama_params).
+Writes docs/PPL_GATE_V2.json.
+
+Run: python tools/train_gate_lm2.py       (TPU; GATE_SMALL=1 smoke)
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tools"))
+print = functools.partial(print, flush=True)
+
+OUT = os.path.join(_ROOT, "docs", "PPL_GATE_V2.json")
+
+CB_P = 0.10          # callback probability
+CB_D = 16            # callback distance
+SUCC_P = (0.4, 0.3, 0.2, 0.1)
+N_GRAMMARS = 4
+
+
+def build_tables_v2(vocab: int, seed: int):
+    """succ[g, a, b, j]: 4 candidate successors per (grammar, context)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, vocab,
+                        (N_GRAMMARS, vocab, vocab, len(SUCC_P)),
+                        dtype=np.int32)
+
+
+def make_sampler_v2(succ, vocab, seq):
+    """Batch sampler returning ([B, seq] tokens, [B] mean oracle NLL):
+    the oracle predictive distribution (mixture of grammar draw +
+    callback) is accumulated during generation, giving the MEASURED
+    entropy floor of exactly the sampled text."""
+    import jax
+    import jax.numpy as jnp
+
+    succ = jnp.asarray(succ)                   # [G, V, V, 4]
+    probs = jnp.asarray(SUCC_P, jnp.float32)
+
+    def sample(key, batch):
+        kg, k0, k1, k2 = jax.random.split(key, 4)
+        gid = jax.random.randint(kg, (batch,), 0, N_GRAMMARS, jnp.int32)
+        t0 = jax.random.randint(k0, (batch,), 0, vocab, jnp.int32)
+        t1 = jax.random.randint(k1, (batch,), 0, vocab, jnp.int32)
+        keys = jax.random.split(k2, seq)
+        hist0 = jnp.zeros((batch, CB_D), jnp.int32)
+
+        def step(carry, k):
+            a, b, hist, nll = carry
+            ks, kc = jax.random.split(k)
+            cand = succ[gid, a, b]                       # [B, 4]
+            j = jax.random.categorical(
+                ks, jnp.broadcast_to(jnp.log(probs), (batch, 4)))
+            markov_next = jnp.take_along_axis(
+                cand, j[:, None], axis=1)[:, 0]
+            cb = jax.random.bernoulli(kc, CB_P, (batch,))
+            cb_tok = hist[:, 0]                          # t - CB_D
+            nxt = jnp.where(cb, cb_tok, markov_next)
+            # oracle predictive prob of the EMITTED token:
+            #   q(t) = CB_P * [t == cb_tok] + (1-CB_P) * markov_p(t)
+            mk_p = jnp.sum(jnp.where(cand == nxt[:, None], probs[None],
+                                     0.0), axis=1)
+            q = CB_P * (nxt == cb_tok).astype(jnp.float32) \
+                + (1.0 - CB_P) * mk_p
+            nll = nll - jnp.log(jnp.maximum(q, 1e-9))
+            hist = jnp.concatenate([hist[:, 1:], nxt[:, None]], axis=1)
+            return (b, nxt, hist, nll), nxt
+
+        (a, b, h, nll), toks = jax.lax.scan(
+            step, (t0, t1, hist0, jnp.zeros((batch,), jnp.float32)),
+            keys)
+        return jnp.moveaxis(toks, 0, 1), nll / seq      # [B, seq], [B]
+
+    return sample
+
+
+def bad_quantizers(params):
+    """Deliberately weak quantizers (the instrument's teeth)."""
+    import jax.numpy as jnp
+    from infinitensor_tpu.models.llama import _QUANT_KEYS
+
+    def map_lin(fn):
+        out = {"embed": params["embed"],
+               "final_norm": params["final_norm"],
+               "lm_head": fn(params["lm_head"]), "layers": []}
+        for layer in params["layers"]:
+            nl = {k: v for k, v in layer.items() if k not in _QUANT_KEYS}
+            for k in _QUANT_KEYS:
+                nl[k] = fn(layer[k])
+            out["layers"].append(nl)
+        return out
+
+    def int4_naive(w):
+        # per-tensor absmax RTN: one scale for the whole matrix
+        s = jnp.max(jnp.abs(w)) / 7.0
+        return jnp.clip(jnp.round(w / s), -8, 7) * s
+
+    def int3(w):
+        # per-group absmax RTN at 3 bits (group snapped to a divisor,
+        # same rule as quantize_weight)
+        din = w.shape[0]
+        g = 128
+        while din % g:
+            g //= 2
+        wg = w.reshape(din // g, g, w.shape[1]).astype(jnp.float32)
+        s3 = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / 3.0, 1e-8)
+        q3 = jnp.clip(jnp.round(wg / s3[:, None]), -4, 3) * s3[:, None]
+        return q3.reshape(w.shape).astype(w.dtype)
+
+    return {"int4_naive": map_lin(int4_naive), "int3": map_lin(int3)}
+
+
+def run_size(tag, cfg, n_steps, batch, results):
+    import jax
+    import numpy as np
+    from infinitensor_tpu.models.llama import quantize_llama_params
+    from train_gate_lm import (confident_agreement, eval_ppl,
+                               noise_like_int4, train)
+
+    vocab, seq = cfg.vocab_size, cfg.max_seq
+    succ = build_tables_v2(vocab, seed=17)
+    sampler2 = make_sampler_v2(succ, vocab, seq)
+
+    def sampler(key, batch):
+        return sampler2(key, batch)[0]
+
+    t0 = time.time()
+    params = train(cfg, sampler, n_steps=n_steps, batch=batch, lr=1e-3,
+                   log_every=max(25, n_steps // 20),
+                   key=jax.random.PRNGKey(5))
+    train_s = time.time() - t0
+    eval_toks, oracle_nll = sampler2(jax.random.PRNGKey(99), 64)
+    floor_ppl = float(np.exp(np.mean(np.asarray(oracle_nll))))
+
+    ppl32, _ = eval_ppl(params, cfg, eval_toks)
+    rows = {}
+
+    def row(name, p):
+        ppl, _ = eval_ppl(p, cfg, eval_toks)
+        agree, n = confident_agreement(params, p, cfg, eval_toks[:16])
+        rows[name] = {
+            "ppl": round(ppl, 4),
+            "delta_abs": round(ppl - ppl32, 4),
+            "delta_rel": round((ppl - ppl32) / ppl32, 4),
+            "confident_top1_agreement": round(agree, 4),
+            "passes_int4_gate_0p5": bool(ppl - ppl32 <= 0.5),
+        }
+
+    row("int8", quantize_llama_params(params, bits=8, group_size=128,
+                                      fuse=False))
+    row("int4", quantize_llama_params(params, bits=4, group_size=128,
+                                      fuse=False))
+    row("noise_control_int4rms",
+        noise_like_int4(params, cfg, jax.random.PRNGKey(11)))
+    for name, p in bad_quantizers(params).items():
+        row(name, p)
+
+    slack = 0.5 / max(rows["int4"]["delta_abs"], 1e-9)
+    teeth = (not rows["int4_naive"]["passes_int4_gate_0p5"]) or \
+        (not rows["int3"]["passes_int4_gate_0p5"])
+    entry = {
+        "config": {"dim": cfg.dim, "n_layers": cfg.n_layers,
+                   "vocab": vocab, "seq": seq, "steps": n_steps,
+                   "batch": batch},
+        "train_s": round(train_s, 1),
+        "entropy_floor_ppl_measured": round(floor_ppl, 3),
+        "ppl_fp32": round(ppl32, 4),
+        "fp32_ppl_ge_3": bool(ppl32 >= 3.0),
+        "quantizers": rows,
+        "gate_int8_le_0p1": bool(rows["int8"]["delta_abs"] <= 0.1),
+        "gate_int4_le_0p5": bool(rows["int4"]["delta_abs"] <= 0.5),
+        "int4_gate_slack_x": round(slack, 1),
+        "instrument_has_teeth": bool(teeth),
+    }
+    results["sizes"][tag] = entry
+    print(f"# {tag}: {json.dumps(entry)}")
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from infinitensor_tpu.models.llama import LlamaConfig
+
+    np.asarray(jnp.zeros((1,)))
+    print(f"# device ready: {jax.devices()[0]}")
+    results = {
+        "protocol": "v2 hardened instrument: latent mixture of 4 "
+                    "order-2 grammars (4 successors at 0.4/0.3/0.2/0.1) "
+                    "+ 10% distance-16 callback tokens; measured oracle "
+                    "entropy floor; eval through llama_prefill vs "
+                    "production quantize_llama_params; matched-RMS "
+                    "noise control; int4_naive/int3 bad-quantizer teeth",
+        "sizes": {}}
+    small = os.environ.get("GATE_SMALL")
+    cfg_a = LlamaConfig(vocab_size=128, dim=256, n_layers=4, n_heads=4,
+                        n_kv_heads=4, intermediate=704, max_seq=128,
+                        dtype=jnp.float32)
+    run_size("4m", cfg_a, n_steps=100 if small else 2500,
+             batch=8 if small else 32, results=results)
+    if not small:
+        cfg_b = LlamaConfig(vocab_size=256, dim=512, n_layers=8,
+                            n_heads=8, n_kv_heads=8, intermediate=1376,
+                            max_seq=256, dtype=jnp.float32)
+        run_size("26m", cfg_b, n_steps=3000, batch=32, results=results)
+    ok = all(e["gate_int8_le_0p1"] and e["gate_int4_le_0p5"]
+             and e["fp32_ppl_ge_3"] and e["instrument_has_teeth"]
+             for e in results["sizes"].values())
+    results["verdict"] = "PASS" if ok else "FAIL"
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"metric": "trained ppl gate v2", "pass": ok}))
+
+
+if __name__ == "__main__":
+    from infinitensor_tpu.utils.watchdog import self_babysit
+    self_babysit("GATE_CHILD")
+    main()
