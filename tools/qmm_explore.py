@@ -76,12 +76,30 @@ def make_variant(variant, bn, group_size, rows, din, dout):
                 acc = acc + pd * sc_ref[c, :].astype(jnp.float32)[None, :]
             o_ref[:, :] = acc.astype(o_ref.dtype)
             return
+        if variant == "dma":
+            # true DMA ceiling: blocks stream in, near-zero VPU work
+            o_ref[:, :] = (qw_ref[:rows, :].astype(jnp.float32)
+                           + sc_ref[:1, :].astype(jnp.float32)
+                           + x[:, :bn]).astype(o_ref.dtype)
+            return
         for c in range(ng_half):
-            u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
+            if variant in ("bf16up", "f32up"):
+                # nibble decode in FLOAT arithmetic — no int32 widen, no
+                # shifts (exact for every byte; verified exhaustively)
+                ft = jnp.bfloat16 if variant == "bf16up" else jnp.float32
+                pf = qw_ref[c * g:(c + 1) * g, :].astype(ft)
+                hi = jnp.floor(pf * ft(1.0 / 16.0))
+                lo_u = pf - hi * ft(16.0)
+                lo = lo_u - ft(16.0) * (lo_u >= ft(8.0)).astype(ft)
+                hi = hi.astype(jnp.bfloat16)
+                lo = lo.astype(jnp.bfloat16)
+                u = None
+            else:
+                u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
             if variant == "hi4":
                 hi = (u >> 4).astype(jnp.bfloat16)
                 lo = (((u & 15) ^ 8) - 8).astype(jnp.bfloat16)
-            else:
+            elif u is not None:
                 lo = ((u << 28) >> 28).astype(jnp.bfloat16)
                 hi = ((u << 24) >> 28).astype(jnp.bfloat16)
             xl = x[:, c * g:(c + 1) * g]
@@ -160,7 +178,8 @@ def main():
         shapes = {k: v for k, v in shapes.items() if k in only.split(",")}
     variants = os.environ.get(
         "QMM_VARIANTS",
-        "stream0,stream,nounpack,noscale,group,hi4,slab").split(",")
+        "dma,stream0,stream,nounpack,noscale,group,hi4,bf16up,f32up,"
+        "slab").split(",")
     rows, g = 8, 128
     # K=256 calls/trip: wo at ~15 us/pass needs ~4 ms of signal per trip
     # to clear tunnel jitter (round-3 lesson: <1 ms/pass sweeps are noise)
