@@ -111,10 +111,23 @@ def _ln(x, g, b, eps):
 
 
 def init_gpt2_cache(cfg: GPT2Config, batch: int,
-                    max_seq: Optional[int] = None, dtype=None) -> dict:
+                    max_seq: Optional[int] = None, dtype=None,
+                    kv_quant: bool = False) -> dict:
     S = max_seq or cfg.max_seq
     dtype = dtype or cfg.dtype
     shape = (batch, cfg.n_heads, S, cfg.head_dim)
+    if kv_quant:
+        # INT8 rows + per-(b, h, s) f32 scales: half the decode-side KV
+        # stream of bf16 (the serving budget showed GPT-2 decode is
+        # KV-read-bound, docs/SERVING_BUDGET.json)
+        return {"k": [jnp.zeros(shape, jnp.int8)
+                      for _ in range(cfg.n_layers)],
+                "v": [jnp.zeros(shape, jnp.int8)
+                      for _ in range(cfg.n_layers)],
+                "k_scale": [jnp.zeros(shape[:-1], jnp.float32)
+                            for _ in range(cfg.n_layers)],
+                "v_scale": [jnp.zeros(shape[:-1], jnp.float32)
+                            for _ in range(cfg.n_layers)]}
     return {"k": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
             "v": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]}
 
@@ -122,7 +135,8 @@ def init_gpt2_cache(cfg: GPT2Config, batch: int,
 def gpt2_prefill(params, cfg: GPT2Config, tokens, cache):
     B, S = tokens.shape
     x = jnp.take(params["wte"], tokens, axis=0) + params["wpe"][:S][None]
-    new_k, new_v = [], []
+    quant_cache = "k_scale" in cache
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     causal = jnp.tril(jnp.ones((S, S), bool))[None, None]
     for layer in params["layers"]:
         h = _ln(x, layer["ln1_g"], layer["ln1_b"], cfg.layer_norm_eps)
@@ -142,25 +156,44 @@ def gpt2_prefill(params, cfg: GPT2Config, tokens, cache):
         u = jax.nn.gelu(_linear(h2, layer["w_up"], layer["b_up"])
                         .astype(jnp.float32), approximate=True)
         x = x + _linear(u.astype(x.dtype), layer["w_down"], layer["b_down"])
+        kh = jnp.swapaxes(k, 1, 2)
+        vh = jnp.swapaxes(v, 1, 2)
+        if quant_cache:
+            from infinitensor_tpu.kernels.attention import quantize_kv_row
+            kq, ks = quantize_kv_row(kh)
+            vq, vs = quantize_kv_row(vh)
+            new_ks.append(jnp.zeros_like(cache["k_scale"][0])
+                          .at[:, :, :S].set(ks))
+            new_vs.append(jnp.zeros_like(cache["v_scale"][0])
+                          .at[:, :, :S].set(vs))
+            kh, vh = kq, vq
         ck = jnp.zeros_like(cache["k"][0]).at[:, :, :S].set(
-            jnp.swapaxes(k, 1, 2).astype(cache["k"][0].dtype))
+            kh.astype(cache["k"][0].dtype))
         cv = jnp.zeros_like(cache["v"][0]).at[:, :, :S].set(
-            jnp.swapaxes(v, 1, 2).astype(cache["v"][0].dtype))
+            vh.astype(cache["v"][0].dtype))
         new_k.append(ck)
         new_v.append(cv)
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
     logits = jnp.matmul(x, params["wte"].T,
                         preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
+    out_cache = {"k": new_k, "v": new_v}
+    if quant_cache:
+        out_cache["k_scale"] = new_ks
+        out_cache["v_scale"] = new_vs
+    return logits.astype(jnp.float32), out_cache
 
 
 def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
-    """token [B] int32, pos [B] int32 -> (logits [B, vocab], cache')."""
-    from infinitensor_tpu.kernels.attention import decode_attention_gqa
+    """token [B] int32, pos [B] int32 -> (logits [B, vocab], cache').
+    An INT8 cache ('k_scale' present) dispatches to the q8 fused decode
+    attention, halving the KV stream (serving's dominant HBM cost)."""
+    from infinitensor_tpu.kernels.attention import (
+        decode_attention_gqa, decode_attention_gqa_q8)
     B = token.shape[0]
+    quant_cache = "k_scale" in cache
     x = jnp.take(params["wte"], token, axis=0)[:, None, :] + \
         jnp.take(params["wpe"], pos, axis=0)[:, None, :]
-    new_k, new_v = [], []
+    new = {key: [] for key in cache}
     for i, layer in enumerate(params["layers"]):
         h = _ln(x, layer["ln1_g"], layer["ln1_b"], cfg.layer_norm_eps)
         qkv = _linear(h, layer["w_qkv"], layer["b_qkv"])
@@ -168,19 +201,26 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
         qh = jnp.swapaxes(q.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
         kh = jnp.swapaxes(k.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
         vh = jnp.swapaxes(v.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
-        out, ck, cv = decode_attention_gqa(
-            cache["k"][i], cache["v"][i], qh,
-            kh.astype(cache["k"][i].dtype),
-            vh.astype(cache["v"][i].dtype), pos)
+        if quant_cache:
+            out, ck, cv, ks, vs = decode_attention_gqa_q8(
+                cache["k"][i], cache["v"][i], cache["k_scale"][i],
+                cache["v_scale"][i], qh, kh, vh, pos)
+            new["k_scale"].append(ks)
+            new["v_scale"].append(vs)
+        else:
+            out, ck, cv = decode_attention_gqa(
+                cache["k"][i], cache["v"][i], qh,
+                kh.astype(cache["k"][i].dtype),
+                vh.astype(cache["v"][i].dtype), pos)
         att = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
         x = x + _linear(att, layer["w_o"], layer["b_o"])
         h2 = _ln(x, layer["ln2_g"], layer["ln2_b"], cfg.layer_norm_eps)
         u = jax.nn.gelu(_linear(h2, layer["w_up"], layer["b_up"])
                         .astype(jnp.float32), approximate=True)
         x = x + _linear(u.astype(x.dtype), layer["w_down"], layer["b_down"])
-        new_k.append(ck)
-        new_v.append(cv)
+        new["k"].append(ck)
+        new["v"].append(cv)
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
     logits = jnp.matmul(x[:, 0], params["wte"].T,
                         preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
+    return logits.astype(jnp.float32), new

@@ -98,3 +98,71 @@ def test_quantized_gpt2(cfg, params):
     p_ref = jax.nn.softmax(ref[:, -1]).ravel()
     p_q = jax.nn.softmax(got[:, -1]).ravel()
     assert int(jnp.argmax(p_ref)) == int(jnp.argmax(p_q))
+
+
+def test_gpt2_int8_kv_decode_parity(rng):
+    """INT8-KV GPT-2 ('k_scale' cache): prefill + decode tokens match the
+    bf16-cache path (quantization tolerance at tiny geometry)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from infinitensor_tpu.models.gpt2 import (
+        GPT2Config, gpt2_decode_step, gpt2_prefill, init_gpt2_cache,
+        init_gpt2_params)
+
+    cfg = GPT2Config(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                     max_seq=32, dtype=jnp.float32)
+    params = init_gpt2_params(cfg, jax.random.PRNGKey(0),
+                              dtype=jnp.float32)
+    toks = jnp.asarray(rng.integers(1, 128, (1, 5)), jnp.int32)
+
+    def run(kv_quant):
+        cache = init_gpt2_cache(cfg, 1, dtype=jnp.float32,
+                                kv_quant=kv_quant)
+        logits, cache = gpt2_prefill(params, cfg, toks, cache)
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        out = [int(tok[0])]
+        for j in range(5, 11):
+            lg, cache = gpt2_decode_step(params, cfg, tok,
+                                         jnp.array([j], jnp.int32), cache)
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            out.append(int(tok[0]))
+        return out, cache
+
+    want, _ = run(False)
+    got, qc = run(True)
+    assert "k_scale" in qc and qc["k"][0].dtype == jnp.int8
+    assert got == want
+
+
+def test_gpt2_serving_int8_kv(rng):
+    """ServingEngine on the INT8-KV GPT-2 family produces the bf16-cache
+    engine's token stream."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from infinitensor_tpu.models.gpt2 import (
+        GPT2Config, gpt2_decode_step, gpt2_prefill, init_gpt2_cache,
+        init_gpt2_params)
+    from infinitensor_tpu.serving.engine import ServingEngine
+
+    cfg = GPT2Config(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                     max_seq=32, dtype=jnp.float32)
+    params = init_gpt2_params(cfg, jax.random.PRNGKey(0),
+                              dtype=jnp.float32)
+    prompts = [[3, 5, 7], [11, 13]]
+
+    def run(init_cache):
+        eng = ServingEngine(params, cfg, max_slots=2, prefill_buckets=(8,),
+                            prefill_fn=gpt2_prefill,
+                            decode_fn=gpt2_decode_step,
+                            init_cache_fn=init_cache, decode_chunk=2)
+        reqs = [eng.submit(list(p), max_new_tokens=5, uid=i)
+                for i, p in enumerate(prompts)]
+        eng.run_to_completion()
+        return [list(r.generated) for r in reqs]
+
+    want = run(init_gpt2_cache)
+    got = run(functools.partial(init_gpt2_cache, kv_quant=True))
+    assert got == want

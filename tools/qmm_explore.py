@@ -83,7 +83,19 @@ def make_variant(variant, bn, group_size, rows, din, dout):
                            + x[:, :bn]).astype(o_ref.dtype)
             return
         for c in range(ng_half):
-            if variant in ("bf16up", "f32up"):
+            if variant == "nib8":
+                # shift-free decode: int8 bitwise ops (Mosaic bans int8
+                # SHIFTS, not and/xor/sub) + exact bf16 arithmetic for
+                # the high nibble — no int32 anywhere
+                u8 = qw_ref[c * g:(c + 1) * g, :]
+                lo_u8 = u8 & jnp.int8(15)
+                lo = ((lo_u8 ^ jnp.int8(8)) - jnp.int8(8)
+                      ).astype(jnp.bfloat16)
+                pf = u8.astype(jnp.bfloat16)
+                hi = (pf - lo_u8.astype(jnp.bfloat16)) \
+                    * jnp.bfloat16(0.0625)
+                u = None
+            elif variant in ("bf16up", "f32up"):
                 # nibble decode in FLOAT arithmetic — no int32 widen, no
                 # shifts (exact for every byte; verified exhaustively)
                 ft = jnp.bfloat16 if variant == "bf16up" else jnp.float32

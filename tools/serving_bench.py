@@ -23,7 +23,12 @@ def main():
         gpt2_decode_step, init_gpt2_cache)
     from infinitensor_tpu.serving import ServingEngine
 
-    cfg = GPT2Config(max_seq=1024)      # 345M geometry
+    # cache sized to the workload (prompts <= 250 + 64 new + chunk slack):
+    # the flash decode reads whole cache blocks, so dead rows in a 1024
+    # cache were ~2/3 of the serving engine's HBM traffic
+    # (docs/SERVING_BUDGET.json); 345M geometry otherwise
+    cfg = GPT2Config(max_seq=int(os.environ.get("SERVE_MAXSEQ", "384")))
+    kv_int8 = os.environ.get("SERVE_KV", "int8") == "int8"
     t0 = time.time()
     params = init_gpt2_params(cfg, jax.random.PRNGKey(0))
     params = quantize_gpt2_params(params, bits=8, group_size=128)
@@ -41,10 +46,12 @@ def main():
     # pipeline_depth 4: dispatch up to 4 fused chunks before fetching
     # tokens — overlaps the ~27 ms tunnel launch with on-device compute
     pipeline = int(os.environ.get("SERVE_PIPELINE", "4"))
+    init_cache = functools.partial(init_gpt2_cache, kv_quant=True) \
+        if kv_int8 else init_gpt2_cache
     eng = ServingEngine(params, cfg, max_slots=slots,
                         prefill_buckets=(64, 256),
                         prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
-                        init_cache_fn=init_gpt2_cache, decode_chunk=chunk,
+                        init_cache_fn=init_cache, decode_chunk=chunk,
                         pipeline_depth=pipeline)
     t0 = time.time()
     eng.warmup()
@@ -80,7 +87,7 @@ def main():
         wall = dt
     best = max(samples)
     result = {
-        "metric": f"gpt2-345m int8 continuous batching tokens/s "
+        "metric": f"gpt2-345m int8{'+kv8' if kv_int8 else ''} continuous batching tokens/s "
                   f"({slots} slots)",
         "value": best,
         "unit": "tokens/s",
