@@ -49,9 +49,11 @@ def main():
     np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:8])
     build_s = time.time() - t0
 
+    pipeline = int(os.environ.get("PAGED_PIPELINE", "4"))
     eng = PagedServingEngine(params, cfg, max_slots=slots, n_pages=n_pages,
                              page_size=page, prefill_buckets=(64, 256),
-                             decode_chunk=chunk, kv_quant=kv_quant)
+                             decode_chunk=chunk, kv_quant=kv_quant,
+                             pipeline_depth=pipeline)
     t0 = time.time()
     eng.warmup()
     warmup_s = time.time() - t0
@@ -79,6 +81,9 @@ def main():
         "build_s": round(build_s, 1),
         "warmup_s": round(warmup_s, 1),
         "decode_chunk": chunk,
+        "pipeline_depth": pipeline,
+        "stats": {k: (round(v, 3) if isinstance(v, float) else v)
+                  for k, v in eng.stats.items()},
     }
     print(json.dumps(result))
 

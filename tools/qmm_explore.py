@@ -84,16 +84,16 @@ def make_variant(variant, bn, group_size, rows, din, dout):
             return
         for c in range(ng_half):
             if variant == "nib8":
-                # shift-free decode: int8 bitwise ops (Mosaic bans int8
-                # SHIFTS, not and/xor/sub) + exact bf16 arithmetic for
-                # the high nibble — no int32 anywhere
+                # shift-free decode using ONLY Mosaic-supported int8 ops
+                # (AND/XOR; int8 SUB and compares are rejected — probed
+                # by tools/qmm_diag.py) + exact bf16 arithmetic
                 u8 = qw_ref[c * g:(c + 1) * g, :]
                 lo_u8 = u8 & jnp.int8(15)
-                lo = ((lo_u8 ^ jnp.int8(8)) - jnp.int8(8)
-                      ).astype(jnp.bfloat16)
+                lo_uf = lo_u8.astype(jnp.bfloat16)
+                lo = (lo_u8 ^ jnp.int8(8)).astype(jnp.bfloat16) \
+                    - jnp.bfloat16(8.0)
                 pf = u8.astype(jnp.bfloat16)
-                hi = (pf - lo_u8.astype(jnp.bfloat16)) \
-                    * jnp.bfloat16(0.0625)
+                hi = (pf - lo_uf) * jnp.bfloat16(0.0625)
                 u = None
             elif variant in ("bf16up", "f32up"):
                 # nibble decode in FLOAT arithmetic — no int32 widen, no
@@ -227,7 +227,7 @@ def main():
                     np.asarray(f(jnp.float32(0), jnp.int32(1), x, qw, sc))
                 except Exception as e:  # noqa: BLE001
                     emit(f"{name}:bn{bn}:{variant}",
-                         {"error": repr(e)[:200]})
+                         {"error": repr(e)[:1500]})
                     continue
 
                 def run_n(n):
