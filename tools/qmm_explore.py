@@ -83,7 +83,36 @@ def make_variant(variant, bn, group_size, rows, din, dout):
                            + x[:, :bn]).astype(o_ref.dtype)
             return
         for c in range(ng_half):
-            if variant == "nib8":
+            if variant == "fuse4":
+                # zero-wide-op decode, CURRENT packing, exact:
+                #   hi: (u & 0xF0) = 16*hi as int8 -> cast -> dot; the
+                #       /16 folds into the scale row (one [1,bn] mul)
+                #   lo: (u & 15) ^ 8 = lo_s + 8 -> cast -> dot; the -8
+                #       folds into a per-group dot-bias correction
+                # int8 AND/XOR + casts fuse into the MXU operand path
+                # (andonly probe: 1029 GB/s vs 500 for the i32 shifts)
+                u8 = qw_ref[c * g:(c + 1) * g, :]
+                hi = (u8 & jnp.int8(-16)).astype(jnp.bfloat16)  # 16*hi
+                lo = ((u8 & jnp.int8(15)) ^ jnp.int8(8)
+                      ).astype(jnp.bfloat16)                    # lo_s + 8
+                u = None
+            elif variant == "andonly":
+                # perf probe: ONE int8 op + cast feeding each dot — does
+                # a single pre-op keep nounpack's speed?
+                u8 = qw_ref[c * g:(c + 1) * g, :]
+                lo = (u8 & jnp.int8(15)).astype(jnp.bfloat16)
+                hi = lo
+                u = None
+            elif variant == "mix":
+                # real candidate (requires offset-binary lo repacking):
+                # hi via the i32 path ONCE; lo = pf - 16*hi in bf16 (one
+                # fma) + a per-group dot-bias correction for the +8 bias
+                u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
+                hi = ((u << 24) >> 28).astype(jnp.bfloat16)
+                pf = qw_ref[c * g:(c + 1) * g, :].astype(jnp.bfloat16)
+                lo = pf - hi * jnp.bfloat16(16.0)   # biased lo (lo_s + 8)
+                u = None
+            elif variant == "nib8":
                 # shift-free decode using ONLY Mosaic-supported int8 ops
                 # (AND/XOR; int8 SUB and compares are rejected — probed
                 # by tools/qmm_diag.py) + exact bf16 arithmetic
@@ -132,6 +161,20 @@ def make_variant(variant, bn, group_size, rows, din, dout):
             pd_hi = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
             if variant == "noscale":
                 acc = acc + pd_lo + pd_hi
+            elif variant in ("mix", "fuse4"):
+                # bias correction: dot used lo_s + 8, so subtract
+                # 8 * sum(xl) per group (outer product with the scale
+                # row); fuse4's hi dot carries 16*hi, so its scale row
+                # is pre-multiplied by 1/16
+                corr = jnp.sum(xl.astype(jnp.float32), axis=1,
+                               keepdims=True) * jnp.float32(8.0)
+                s_hi = sc_ref[ng_half + c, :].astype(jnp.float32)
+                if variant == "fuse4":
+                    s_hi = s_hi * jnp.float32(0.0625)
+                acc = acc + \
+                    (pd_lo - corr) * sc_ref[c, :].astype(
+                        jnp.float32)[None, :] + \
+                    pd_hi * s_hi[None, :]
             else:                       # group (shipping math)
                 acc = acc + \
                     pd_lo * sc_ref[c, :].astype(jnp.float32)[None, :] + \

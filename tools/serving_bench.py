@@ -28,7 +28,11 @@ def main():
     # cache were ~2/3 of the serving engine's HBM traffic
     # (docs/SERVING_BUDGET.json); 345M geometry otherwise
     cfg = GPT2Config(max_seq=int(os.environ.get("SERVE_MAXSEQ", "384")))
-    kv_int8 = os.environ.get("SERVE_KV", "int8") == "int8"
+    # int8 KV measured SLOWER for GPT-2 at batch 16 (1203-1232 vs
+    # 1697.9 tok/s): flash_decode_q8's 24 KB per-(b,h) blocks + scale
+    # folding lose more than the halved bytes buy at D=64/S=384 —
+    # the knob stays for long-context configs where bytes dominate
+    kv_int8 = os.environ.get("SERVE_KV", "none") == "int8"
     t0 = time.time()
     params = init_gpt2_params(cfg, jax.random.PRNGKey(0))
     params = quantize_gpt2_params(params, bits=8, group_size=128)
