@@ -128,19 +128,38 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
     else:
         # split-half int4: packed group c holds unpacked group c (low
         # nibbles) and group ng/2 + c (high nibbles) — scales line up as
-        # sc[c] / sc[ng_half + c]
+        # sc[c] / sc[ng_half + c].
+        #
+        # Zero-wide-op nibble decode ("fuse4", round-4): a single int8
+        # bitwise op + cast feeding a dot rides the MXU operand path for
+        # free, while the old int32 widen+shift decode was the kernel's
+        # bound (tools/qmm_explore.py: i32 path ~490-570 GB/s effective
+        # vs 616-683 for this decode; pure cast+dot ceiling 810-1030).
+        #   hi: (u & 0xF0) = 16*hi as int8 -> the /16 folds into the
+        #       scale row ([1, bn] multiply)
+        #   lo: (u & 15) ^ 8 = lo + 8     -> the -8 folds into a
+        #       per-group dot-bias correction 8 * sum(xl)
+        # Exact (verified bit-identical to the shift decode for all 256
+        # byte values and end-to-end in interpret tests).
         half = qw_ref.shape[0]
         ng_half = half // g
         for c in range(ng_half):
-            u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
-            lo = ((u << 28) >> 28).astype(jnp.bfloat16)
-            hi = ((u << 24) >> 28).astype(jnp.bfloat16)
-            pd_lo = jnp.dot(x[:, c * g:(c + 1) * g], lo,
+            u8 = qw_ref[c * g:(c + 1) * g, :]
+            hi16 = (u8 & jnp.int8(-16)).astype(jnp.bfloat16)   # 16*hi
+            lo_b = ((u8 & jnp.int8(15)) ^ jnp.int8(8)
+                    ).astype(jnp.bfloat16)                     # lo + 8
+            xl = x[:, c * g:(c + 1) * g]
+            pd_lo = jnp.dot(xl, lo_b,
                             preferred_element_type=jnp.float32)
-            pd_hi = jnp.dot(x[:, half + c * g:half + (c + 1) * g], hi,
+            pd_hi = jnp.dot(x[:, half + c * g:half + (c + 1) * g], hi16,
                             preferred_element_type=jnp.float32)
-            acc = acc + pd_lo * sc_ref[c, :].astype(jnp.float32)[None, :] \
-                + pd_hi * sc_ref[ng_half + c, :].astype(jnp.float32)[None, :]
+            corr = jnp.sum(xl.astype(jnp.float32), axis=1,
+                           keepdims=True) * jnp.float32(8.0)
+            s_hi = sc_ref[ng_half + c, :].astype(jnp.float32) \
+                * jnp.float32(0.0625)
+            acc = acc + \
+                (pd_lo - corr) * sc_ref[c, :].astype(
+                    jnp.float32)[None, :] + pd_hi * s_hi[None, :]
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
