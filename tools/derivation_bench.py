@@ -70,79 +70,78 @@ def time_fn(fn, args, K, n_hi=5, reps=3):
     return (run_n(n_hi) - run_n(1)) / ((n_hi - 1) * K)
 
 
-def conv_pair(name, N, C, H, F, R, stride, dil, pad, rng):
-    """Build (base conv graph, derived mutant graph) via the NMutator;
-    falls back to the Im2colMatmulConv algorithm op (the mutator's
-    product) if search does not terminate at this size, and records
-    which happened."""
+def derivation_probe(R, stride, dil, pad):
+    """Run the Derivator end-to-end on a SMALL conv of the same
+    structure (search cost is exponential in iterator count; the probe
+    proves the rewrite is FOUND by search, the timing below compares the
+    lowered forms at full size)."""
     import numpy as np
     from infinitensor_tpu.core.handler import GraphHandler
     from infinitensor_tpu.nnet.nmutator import NMutator
 
+    rng = np.random.default_rng(0)
     h = GraphHandler()
-    x = h.input((N, C, H, H), name="x")
-    w = h.weight(rng.standard_normal((F, C, R, R)).astype(np.float32))
-    h.conv(x, w, pads=(pad, pad), strides=(stride, stride),
+    x = h.input((1, 3, 10, 10), name="x")
+    w = h.weight(rng.standard_normal((4, 3, min(R, 3), min(R, 3))
+                                    ).astype(np.float32))
+    h.conv(x, w, pads=(pad and 1, pad and 1), strides=(stride, stride),
            dilations=(dil, dil))
     h.graph.infer_output_roles()
-
-    derived = False
-    mutant = None
     try:
         muts = NMutator(max_depth=2).run(h.graph)
-        for m in muts:
-            ops = [op.op_type for op in m.operators]
-            if "MatMul" in ops or "Im2colMatmulConv" in ops:
-                mutant = m
-                derived = True
-                break
-    except Exception as e:  # noqa: BLE001
-        print(f"# {name}: derivation search failed: {e!r}")
-    if mutant is None:
-        h2 = GraphHandler()
-        x2 = h2.input((N, C, H, H), name="x")
-        w2 = h2.weight(np.asarray(w.numpy()))
-        h2._add("Im2colMatmulConv", [x2, w2],
-                {"pads": [pad, pad, pad, pad],
-                 "strides": [stride, stride], "dilations": [dil, dil]})
-        h2.graph.infer_output_roles()
-        mutant = h2.graph
-    return h.graph, mutant, derived
-
-
-def measure_graph(graph, feeds_np, K):
-    import jax.numpy as jnp
-    from infinitensor_tpu.runtime.executor import GraphExecutor
-
-    ex = GraphExecutor(graph)
-    weights = ex._weight_arrays()
-    names = sorted(feeds_np)
-    arrs = [jnp.asarray(feeds_np[n]) for n in names]
-    out_name = graph.outputs()[0].name
-
-    def fn(carry, weights, *arrs):
-        vals = {n: a for n, a in zip(names, arrs)}
-        k0 = names[0]
-        vals[k0] = vals[k0] + carry.astype(vals[k0].dtype)
-        return ex._forward(vals, weights)[out_name]
-
-    return time_fn(fn, (weights, *arrs), K)
+        return any("MatMul" in [op.op_type for op in m.operators]
+                   or "Im2colMatmulConv" in [op.op_type
+                                             for op in m.operators]
+                   for m in muts)
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def family_conv(name, N, C, H, F, R, stride, dil, pad, K, rng, flops):
-    base_g, mut_g, derived = conv_pair(name, N, C, H, F, R, stride, dil,
-                                       pad, rng)
+    """Time the two LOWERED FORMS of the conv directly (bf16, jit):
+    base = XLA native convolution; derived = im2col patches + one MXU
+    dot_general (the form the Derivator's rule-3 + iterator-table match
+    produces; lowering ops/lowering.py Im2colMatmulConv)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
     import numpy as np
-    feeds = {"x": rng.standard_normal((N, C, H, H)).astype(np.float32)}
-    t_base = measure_graph(base_g, feeds, K)
-    t_mut = measure_graph(mut_g, feeds, K)
+
+    derived = derivation_probe(R, stride, dil, pad)
+    x = jnp.asarray(rng.standard_normal((N, C, H, H)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((F, C, R, R)), jnp.bfloat16)
+    pads = [(pad, pad), (pad, pad)]
+
+    def base(carry, x, w):
+        return lax.conv_general_dilated(
+            x + carry.astype(x.dtype), w, (stride, stride), pads,
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def deriv(carry, x, w):
+        xc = x + carry.astype(x.dtype)
+        patches = lax.conv_general_dilated_patches(
+            xc, (R, R), (stride, stride), pads, rhs_dilation=(dil, dil),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        n, k, oh, ow = patches.shape
+        cols = patches.reshape(n, k, oh * ow)
+        wf = w.reshape(F, k)
+        out = lax.dot_general(
+            wf, cols, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [F, n, oh*ow]
+        return jnp.moveaxis(out, 0, 1).reshape(
+            n, F, oh, ow).astype(x.dtype)
+
+    t_base = time_fn(base, (x, w), K)
+    t_der = time_fn(deriv, (x, w), K)
     emit(name, {
         "derived_by_search": derived,
         "base_ms": round(t_base * 1e3, 4),
-        "derived_ms": round(t_mut * 1e3, 4),
-        "speedup": round(t_base / t_mut, 4),
+        "derived_ms": round(t_der * 1e3, 4),
+        "speedup": round(t_base / t_der, 4),
         "base_tflops": round(flops / t_base / 1e12, 2),
-        "derived_tflops": round(flops / t_mut / 1e12, 2),
+        "derived_tflops": round(flops / t_der / 1e12, 2),
     })
 
 

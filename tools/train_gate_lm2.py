@@ -42,7 +42,11 @@ OUT = os.path.join(_ROOT, "docs", "PPL_GATE_V2.json")
 CB_P = 0.10          # callback probability
 CB_D = 16            # callback distance
 SUCC_P = (0.4, 0.3, 0.2, 0.1)
-N_GRAMMARS = 4
+# 2 grammars / small vocabs: the v2.0 corpus (4 grammars, vocab 128/256)
+# left the models far from floor (4m: ppl 35 vs floor 4.3; 26m stuck at
+# chance) — deltas balloon when the model is diffuse. The gate needs the
+# model NEAR floor with the floor >= 3.
+N_GRAMMARS = 2
 
 
 def build_tables_v2(vocab: int, seed: int):
@@ -138,7 +142,7 @@ def bad_quantizers(params):
     return {"int4_naive": map_lin(int4_naive), "int3": map_lin(int3)}
 
 
-def run_size(tag, cfg, n_steps, batch, results):
+def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
     import jax
     import numpy as np
     from infinitensor_tpu.models.llama import quantize_llama_params
@@ -153,7 +157,7 @@ def run_size(tag, cfg, n_steps, batch, results):
         return sampler2(key, batch)[0]
 
     t0 = time.time()
-    params = train(cfg, sampler, n_steps=n_steps, batch=batch, lr=1e-3,
+    params = train(cfg, sampler, n_steps=n_steps, batch=batch, lr=lr,
                    log_every=max(25, n_steps // 20),
                    key=jax.random.PRNGKey(5))
     train_s = time.time() - t0
@@ -223,16 +227,17 @@ def main():
                     "noise control; int4_naive/int3 bad-quantizer teeth",
         "sizes": {}}
     small = os.environ.get("GATE_SMALL")
-    cfg_a = LlamaConfig(vocab_size=128, dim=256, n_layers=4, n_heads=4,
+    cfg_a = LlamaConfig(vocab_size=64, dim=256, n_layers=4, n_heads=4,
                         n_kv_heads=4, intermediate=704, max_seq=128,
                         dtype=jnp.float32)
-    run_size("4m", cfg_a, n_steps=100 if small else 2500,
+    run_size("4m", cfg_a, n_steps=100 if small else 3000,
              batch=8 if small else 32, results=results)
     if not small:
-        cfg_b = LlamaConfig(vocab_size=256, dim=512, n_layers=8,
+        cfg_b = LlamaConfig(vocab_size=128, dim=512, n_layers=8,
                             n_heads=8, n_kv_heads=8, intermediate=1376,
                             max_seq=256, dtype=jnp.float32)
-        run_size("26m", cfg_b, n_steps=3000, batch=32, results=results)
+        run_size("26m", cfg_b, n_steps=4000, batch=32, results=results,
+                 lr=5e-4)
     ok = all(e["gate_int8_le_0p1"] and e["gate_int4_le_0p5"]
              and e["fp32_ppl_ge_3"] and e["instrument_has_teeth"]
              for e in results["sizes"].values())
