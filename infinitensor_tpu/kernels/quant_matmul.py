@@ -70,7 +70,7 @@ def _kernel(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size, chunk):
         ng_c = chunk // group_size
         for c in range(half // chunk):
             u = qw_ref[c * chunk:(c + 1) * chunk, :].astype(jnp.int32)
-            lo = (u << 28) >> 28
+            lo = (u & 15) - 8            # offset-binary low nibble
             hi = (u << 24) >> 28
             sc_lo = sc_ref[c * ng_c:(c + 1) * ng_c, :]
             sc_hi = sc_ref[ng_half + c * ng_c:ng_half + (c + 1) * ng_c, :]
@@ -146,8 +146,9 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
         for c in range(ng_half):
             u8 = qw_ref[c * g:(c + 1) * g, :]
             hi16 = (u8 & jnp.int8(-16)).astype(jnp.bfloat16)   # 16*hi
-            lo_b = ((u8 & jnp.int8(15)) ^ jnp.int8(8)
-                    ).astype(jnp.bfloat16)                     # lo + 8
+            # low nibble is stored offset-binary (quantize_weight), so
+            # one AND yields lo + 8 directly — no XOR
+            lo_b = (u8 & jnp.int8(15)).astype(jnp.bfloat16)    # lo + 8
             xl = x[:, c * g:(c + 1) * g]
             pd_lo = jnp.dot(xl, lo_b,
                             preferred_element_type=jnp.float32)
@@ -213,7 +214,7 @@ def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sc_ref,
     else:
         for c in range(kb // g):
             u = qw_ref[c * g:(c + 1) * g, :].astype(jnp.int32)
-            lo = ((u << 28) >> 28).astype(jnp.bfloat16)
+            lo = ((u & 15) - 8).astype(jnp.bfloat16)  # offset-binary lo
             hi = ((u << 24) >> 28).astype(jnp.bfloat16)
             pd_lo = jnp.dot(x_lo_ref[:, c * g:(c + 1) * g], lo,
                             preferred_element_type=jnp.float32)

@@ -120,8 +120,14 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
         # w[i + din//2] (high nibble). Unpacking is then two CONTIGUOUS
         # row blocks — no sublane interleave, which Mosaic lowers to a
         # per-element shuffle ~14x slower than the matmul it feeds.
+        #
+        # The low nibble is stored OFFSET-BINARY (value + 8, in [0, 15])
+        # so the decode-kernel's low-half operand is a single int8 AND
+        # (the +8 bias folds into a per-group dot correction); the high
+        # nibble stays signed so (byte & 0xF0) = 16*hi directly (the /16
+        # folds into the scale row). See kernels/quant_matmul._group_dots.
         half = din // 2
-        lo = q[:half].astype(jnp.uint8) & 0xF
+        lo = (q[:half].astype(jnp.int32) + 8).astype(jnp.uint8) & 0xF
         hi = (q[half:].astype(jnp.uint8) & 0xF) << 4
         q = (lo | hi).astype(jnp.int8)
     return QuantizedLinear(q, scales.astype(jnp.float32), bits, group_size,
@@ -130,13 +136,10 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
 
 def _unpack_nibbles(packed: jax.Array) -> tuple:
     """[in//2, out] packed -> (lo, hi) int32 in [-8, 7]; lo = w rows
-    [0, in/2), hi = w rows [in/2, in) (split-half layout).
-
-    Shifts happen in int32: Mosaic (Pallas TPU) has no shift ops on int8
-    vectors, and int32 is the VPU-native lane width anyway. Sign extension
-    is two arithmetic shifts (no compare/select)."""
+    [0, in/2), hi = w rows [in/2, in) (split-half layout; low nibble
+    stored offset-binary, see quantize_weight)."""
     u = packed.astype(jnp.int32)
-    lo = (u << 28) >> 28
+    lo = (u & 15) - 8
     hi = (u << 24) >> 28
     return lo, hi
 
