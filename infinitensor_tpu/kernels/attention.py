@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -234,6 +235,10 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     B, H, _, D = q.shape
     Bk, Hkv, S, Dk = k_cache.shape
     rep = H // Hkv
+    if seq_block == 2048 and os.environ.get("INFINITPU_FLASH_SEQBLK"):
+        # tuning override for callers that don't thread the knob
+        # (serving engines); same guard rails as any requested block
+        seq_block = int(os.environ["INFINITPU_FLASH_SEQBLK"])
     seq_block = _pick_seq_block(seq_block, S)
     hb = _resolve_hb(head_block, Hkv)
     grid = (B, Hkv // hb, S // seq_block)

@@ -92,7 +92,7 @@ def main():
     launch_rt_ms = measure_launch_rt_ms()
     print(f"# launch rt: {launch_rt_ms:.1f} ms", file=sys.stderr)
 
-    cfg = GPT2Config(max_seq=1024)
+    cfg = GPT2Config(max_seq=int(os.environ.get("SERVE_MAXSEQ", "384")))
     params = quantize_gpt2_params(
         init_gpt2_params(cfg, jax.random.PRNGKey(0)), bits=8,
         group_size=128)
