@@ -40,16 +40,18 @@ def main():
     np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:8])
     build_s = time.time() - t0
 
-    # chunk=32 measured 896.8 tok/s vs 652.6 at chunk=8 (chunk=64 only
-    # +3.7% more and wastes slot-steps under eos): launch amortization
-    # dominates at batch 8 through the tunnel
-    chunk = int(os.environ.get("SERVE_CHUNK", "32"))
+    # chunk sweep history: 8/16/32/64 -> 652.6/780.5/896.8/929.7 (r2,
+    # 8 slots); with batched admission + pipelining, chunk=64 x depth=2
+    # beats 32 x 4 (1743.9 vs 1705.8, r4) — same launch count per fetch
+    # group, fewer scheduler turns. eos-heavy workloads may prefer 32
+    # (a finished request wastes the chunk remainder).
+    chunk = int(os.environ.get("SERVE_CHUNK", "64"))
     # 16 slots: 974.5 tok/s vs 896.8 at 8 (weights amortize further;
     # spread 3.7%) — the default serving geometry
     slots = int(os.environ.get("SERVE_SLOTS", "16"))
     # pipeline_depth 4: dispatch up to 4 fused chunks before fetching
     # tokens — overlaps the ~27 ms tunnel launch with on-device compute
-    pipeline = int(os.environ.get("SERVE_PIPELINE", "4"))
+    pipeline = int(os.environ.get("SERVE_PIPELINE", "2"))
     init_cache = functools.partial(init_gpt2_cache, kv_quant=True) \
         if kv_int8 else init_gpt2_cache
     eng = ServingEngine(params, cfg, max_slots=slots,
