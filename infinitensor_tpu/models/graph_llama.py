@@ -250,36 +250,47 @@ class GraphLlamaServingAdapter:
     through the decode graph one position at a time the same way
     (llama_kvcache_inference.py:102-144)."""
 
-    def __init__(self, params: dict, cfg: LlamaConfig):
+    def __init__(self, params: dict, cfg: LlamaConfig,
+                 kv_quant: bool = False):
         self.params = params
         self.cfg = cfg
+        self.kv_quant = bool(kv_quant)
         self._built: dict = {}
 
     def _decoder(self, batch: int, max_seq: int) -> GraphLlamaDecoder:
         key = (batch, max_seq)
         if key not in self._built:
             dec = build_llama_decoder(self.params, self.cfg, batch,
-                                      max_seq)
+                                      max_seq, kv_quant=self.kv_quant,
+                                      external_weights=True)
             from infinitensor_tpu.runtime.executor import GraphExecutor
             self._built[key] = (dec, GraphExecutor(dec.graph))
         return self._built[key]
 
     def _weights_from_params(self, params):
-        """Graph weight-name dict from the llama param pytree, built at
-        TRACE time from the traced `params` argument — weights must flow
-        through jit arguments, not closures (a closure-captured weight
-        set becomes per-executable HLO constants; see the repo's
-        jit-closure-constants note)."""
+        """Graph weight-name dict from the llama param pytree (float OR
+        weight-only-quantized), built at TRACE time from the traced
+        `params` argument — weights must flow through jit arguments, not
+        closures (a closure-captured weight set becomes per-executable
+        HLO constants; see the repo's jit-closure-constants note)."""
         import jax.numpy as jnp
+        from infinitensor_tpu.quant.weight_only import QuantizedLinear
 
-        w = {"embed": params["embed"],
-             "final_norm": params["final_norm"],
-             "lm_head": params["lm_head"]}
+        w = {}
+
+        def put(name, v):
+            if isinstance(v, QuantizedLinear):
+                w[f"{name}.qweight"] = v.qweight
+                w[f"{name}.scales"] = v.scales
+            else:
+                w[name] = jnp.asarray(v)
+        put("embed", params["embed"])
+        put("final_norm", params["final_norm"])
+        put("lm_head", params["lm_head"])
         for i, layer in enumerate(params["layers"]):
-            for k in ("attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
-                      "w_gate", "w_up", "w_down"):
-                w[f"l{i}.{k}"] = layer[k]
-        return {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}
+            for k, v in layer.items():
+                put(f"l{i}.{k}", v)
+        return w
 
     def _forward(self, params, token, pos, cache):
         """One traced decode step: (logits [B, vocab], cache')."""
@@ -293,9 +304,16 @@ class GraphLlamaServingAdapter:
         for i in range(self.cfg.n_layers):
             vals[dec.k_in[i]] = cache["k"][i]
             vals[dec.v_in[i]] = cache["v"][i]
+        if self.kv_quant:
+            for i in range(self.cfg.n_layers):
+                vals[dec.ks_in[i]] = cache["k_scale"][i]
+                vals[dec.vs_in[i]] = cache["v_scale"][i]
         out = ex._forward(vals, self._weights_from_params(params))
         new_cache = {"k": [out[n] for n in dec.k_out],
                      "v": [out[n] for n in dec.v_out]}
+        if self.kv_quant:
+            new_cache["k_scale"] = [out[n] for n in dec.ks_out]
+            new_cache["v_scale"] = [out[n] for n in dec.vs_out]
         return out[dec.logits_name], new_cache
 
     # engine-facing fns (same signatures as models/llama.py) -------------
@@ -325,7 +343,8 @@ class GraphLlamaServingAdapter:
         from infinitensor_tpu.models.llama import init_kv_cache
         import jax.numpy as jnp
         return init_kv_cache(cfg, batch, max_seq=max_seq,
-                             dtype=dtype or jnp.float32)
+                             dtype=dtype or cfg.dtype,
+                             kv_quant=self.kv_quant)
 
 
 def bind_llama_weights(dec: GraphLlamaDecoder, executor, params: dict

@@ -273,3 +273,37 @@ def test_external_weights_device_binding():
     got = graph_greedy_decode(dec2, first_token=6, n_steps=6, start_pos=0,
                               executor=ex)
     assert list(got[0]) == list(want[0])
+
+
+def test_serving_engine_quantized_graph_ir_kv8():
+    """ServingEngine running the QUANTIZED graph-IR model family (MatMulWOQ
+    + AttentionKVCacheQ8 through the adapter) emits the native quantized
+    engine's exact token stream — serving through the framework's own
+    graph engine at the flagship config family."""
+    from infinitensor_tpu.models.llama import quantize_llama_params
+    from infinitensor_tpu.serving.engine import ServingEngine
+    import functools
+    from infinitensor_tpu.models.llama import init_kv_cache
+
+    params = init_llama_params(GQA_CFG, jax.random.PRNGKey(41),
+                               dtype=jnp.float32)
+    qparams = quantize_llama_params(params, bits=4, group_size=128)
+    prompts = [[3, 5, 7], [11, 13]]
+
+    native = ServingEngine(qparams, GQA_CFG, max_slots=2,
+                           prefill_buckets=(8,), kv_quant=True)
+    want = [native.submit(p, max_new_tokens=5, uid=90 + i)
+            for i, p in enumerate(prompts)]
+    native.run_to_completion()
+    want = [list(r.generated) for r in want]
+
+    ad = GraphLlamaServingAdapter(qparams, GQA_CFG, kv_quant=True)
+    eng = ServingEngine(qparams, GQA_CFG, max_slots=2,
+                        prefill_buckets=(8,), prefill_fn=ad.prefill_fn,
+                        decode_fn=ad.decode_fn,
+                        init_cache_fn=ad.init_cache_fn)
+    got = [eng.submit(p, max_new_tokens=5, uid=90 + i)
+           for i, p in enumerate(prompts)]
+    eng.run_to_completion()
+    got = [list(r.generated) for r in got]
+    assert got == want
