@@ -149,22 +149,18 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
             # low nibble is stored offset-binary (quantize_weight), so
             # one AND yields lo + 8 directly — no XOR
             lo_b = (u8 & jnp.int8(15)).astype(jnp.bfloat16)    # lo + 8
-            pd_lo = jnp.dot(x[:, c * g:(c + 1) * g], lo_b,
+            xl = x[:, c * g:(c + 1) * g]
+            pd_lo = jnp.dot(xl, lo_b,
                             preferred_element_type=jnp.float32)
             pd_hi = jnp.dot(x[:, half + c * g:half + (c + 1) * g], hi16,
                             preferred_element_type=jnp.float32)
+            corr = jnp.sum(xl.astype(jnp.float32), axis=1,
+                           keepdims=True) * jnp.float32(8.0)
             s_hi = sc_ref[ng_half + c, :].astype(jnp.float32) \
                 * jnp.float32(0.0625)
-            acc = acc + pd_lo * sc_ref[c, :].astype(
-                jnp.float32)[None, :] + pd_hi * s_hi[None, :]
-        # the +8 lo bias, corrected for ALL groups in one tiny MXU dot:
-        # sum_c 8*rowsum(xl_c)*s_lo_c = (8*group_rowsums) @ s_lo_rows.
-        # Per-group VPU reduce+fma here was ~25% of the kernel's gap to
-        # the cast+dot ceiling (docs/QMM_EXPLORE.json andonly vs fuse4).
-        xs = jnp.sum(x[:, :half].astype(jnp.float32).reshape(
-            rows, ng_half, g), axis=2) * jnp.float32(8.0)   # [rows, ng]
-        acc = acc - jnp.dot(xs, sc_ref[:ng_half, :].astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
+            acc = acc + \
+                (pd_lo - corr) * sc_ref[c, :].astype(
+                    jnp.float32)[None, :] + pd_hi * s_hi[None, :]
     o_ref[:, :] = acc.astype(o_ref.dtype)
 
 
