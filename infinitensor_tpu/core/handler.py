@@ -375,10 +375,14 @@ class GraphHandler:
         kernel. See ops/shape_rules.py MatMulWOQ."""
         ins = [x, qweight, scales] + \
             ([norm_weight] if norm_weight is not None else [])
-        return self._add("MatMulWOQ", ins,
-                         {"bits": int(bits), "group_size": int(group_size),
-                          "out_logical": int(out_logical),
-                          "eps": float(eps)}, outputs=[output])
+        attrs = {"bits": int(bits), "group_size": int(group_size),
+                 "out_logical": int(out_logical), "eps": float(eps)}
+        if int(bits) == 4:
+            # stamp the packed-byte layout so serialized graphs from an
+            # older packing fail loudly at import (quant/weight_only.py)
+            from infinitensor_tpu.quant.weight_only import INT4_PACK_VERSION
+            attrs["pack_version"] = INT4_PACK_VERSION
+        return self._add("MatMulWOQ", ins, attrs, outputs=[output])
 
     def rope(self, pos, x, dim_head=64, theta=10000.0, output=None):
         return self._add("RoPE", [pos, x], {"dim_head": dim_head,

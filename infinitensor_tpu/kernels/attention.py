@@ -204,10 +204,29 @@ def _resolve_hb(head_block: int, Hkv: int) -> int:
     return head_block
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("seq_block", "interpret", "head_block"))
+def _env_seq_block(seq_block: int) -> int:
+    """Resolve the INFINITPU_FLASH_SEQBLK tuning override OUTSIDE any jit:
+    the jit trace cache keys only on shapes + static args, so an env read
+    inside the traced body would silently pin the value seen at first
+    trace (advisor round-4 finding). Callers that don't thread the knob
+    (serving engines) get the override applied here, for BOTH the bf16 and
+    int8-KV kernels, re-read on every call."""
+    if seq_block == 2048 and os.environ.get("INFINITPU_FLASH_SEQBLK"):
+        return int(os.environ["INFINITPU_FLASH_SEQBLK"])
+    return seq_block
+
+
 def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
                  interpret: bool = False, head_block: int = 0):
+    return _flash_decode_jit(q, k_cache, v_cache, pos,
+                             seq_block=_env_seq_block(seq_block),
+                             interpret=interpret, head_block=head_block)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seq_block", "interpret", "head_block"))
+def _flash_decode_jit(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
+                      interpret: bool = False, head_block: int = 0):
     """q [B, H, 1, D], caches [B, Hkv, S, D] (already appended), pos [B].
     Returns [B, H, 1, D]. H must be a multiple of Hkv (GQA).
 
@@ -235,10 +254,6 @@ def flash_decode(q, k_cache, v_cache, pos, *, seq_block: int = 2048,
     B, H, _, D = q.shape
     Bk, Hkv, S, Dk = k_cache.shape
     rep = H // Hkv
-    if seq_block == 2048 and os.environ.get("INFINITPU_FLASH_SEQBLK"):
-        # tuning override for callers that don't thread the knob
-        # (serving engines); same guard rails as any requested block
-        seq_block = int(os.environ["INFINITPU_FLASH_SEQBLK"])
     seq_block = _pick_seq_block(seq_block, S)
     hb = _resolve_hb(head_block, Hkv)
     grid = (B, Hkv // hb, S // seq_block)
@@ -377,11 +392,19 @@ def _flash_decode_q8_hb_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref,
             o_ref.shape).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("seq_block", "interpret", "head_block"))
 def flash_decode_q8(q, k_cache, v_cache, k_scale, v_scale, pos, *,
                     seq_block: int = 2048, interpret: bool = False,
                     head_block: int = 0):
+    return _flash_decode_q8_jit(q, k_cache, v_cache, k_scale, v_scale, pos,
+                                seq_block=_env_seq_block(seq_block),
+                                interpret=interpret, head_block=head_block)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seq_block", "interpret", "head_block"))
+def _flash_decode_q8_jit(q, k_cache, v_cache, k_scale, v_scale, pos, *,
+                         seq_block: int = 2048, interpret: bool = False,
+                         head_block: int = 0):
     """INT8-KV flash decode. q [B, H, 1, D]; caches int8 [B, Hkv, S, D]
     (already appended); scales f32 [B, Hkv, S]; pos [B]. Returns
     [B, H, 1, D]. Same causal-frontier DMA clamp as flash_decode: blocks

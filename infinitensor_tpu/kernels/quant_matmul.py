@@ -139,8 +139,10 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
         #       scale row ([1, bn] multiply)
         #   lo: (u & 15) ^ 8 = lo + 8     -> the -8 folds into a
         #       per-group dot-bias correction 8 * sum(xl)
-        # Exact (verified bit-identical to the shift decode for all 256
-        # byte values and end-to-end in interpret tests).
+        # Decode of the nibble VALUES is exact; the dot-bias correction is
+        # f32-rounding-equivalent only (dot(x, lo+8) - 8*sum(x) rounds the
+        # two reductions separately and can cancel when sum(x) is large
+        # relative to x.lo), so oracle tests stay tolerance-based.
         half = qw_ref.shape[0]
         ng_half = half // g
         for c in range(ng_half):

@@ -641,6 +641,15 @@ def _imp_attn_kv_q8(ctx, node, attrs):
 @register_import("MatMulWOQ")
 def _imp_matmul_woq(ctx, node, attrs):
     ins = [ctx.get(i) for i in node.input]
+    if int(attrs.get("bits", 8)) == 4 and "pack_version" in attrs:
+        from infinitensor_tpu.quant.weight_only import INT4_PACK_VERSION
+        pv = int(attrs["pack_version"])
+        if pv != INT4_PACK_VERSION:
+            raise ValueError(
+                f"MatMulWOQ '{node.name}' was serialized with int4 "
+                f"pack_version {pv}; this build decodes version "
+                f"{INT4_PACK_VERSION} — re-quantize the model "
+                f"(quant/weight_only.py packing changed)")
     out = ctx.h.matmul_woq(
         ins[0], ins[1], ins[2], bits=int(attrs["bits"]),
         group_size=int(attrs["group_size"]),

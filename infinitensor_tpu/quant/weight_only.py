@@ -24,6 +24,14 @@ import jax.numpy as jnp
 from infinitensor_tpu.utils.platform import is_tpu
 import numpy as np
 
+# On-the-wire layout version of the packed-int4 qweight bytes. v1 was the
+# all-signed split-half layout; v2 (round 4) stores the LOW nibble
+# offset-binary (+8) so the decode kernel's low operand is a single AND.
+# Serialized graphs (ONNX MatMulWOQ) carry this as an attribute so stale
+# packed bytes fail loudly at import instead of decoding garbage; bump it
+# whenever quantize_weight's packing changes.
+INT4_PACK_VERSION = 2
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass

@@ -181,14 +181,11 @@ class ServingEngine:
         self.last_token = np.zeros(max_slots, np.int32)
 
         self._prefill_fn = prefill_fn
-        # admission: prefill + slot write + first-token argmax fused into ONE
-        # executable per bucket; slot/prompt-length are traced scalars so the
-        # program is reused across slots (a static slot arg was recompiling a
-        # 2L-buffer program per slot — 30s+ per admission on the real chip)
-        self._prefill_slot: dict[int, Callable] = {}
         # batched admission: one fused multi-request prefill per
-        # (bucket, pow2-lane-count) — a whole admission wave lands in ONE
-        # launch instead of one per request
+        # (bucket, lane-count) — a whole admission wave lands in ONE
+        # launch instead of one per request. (The earlier per-request
+        # _prefill_slot path was removed once batched _admit replaced
+        # every call site — advisor round-4.)
         self._prefill_batch: dict[tuple, Callable] = {}
         # decode: greedy argmax inside the launch (one round-trip per step)
         self._decode = jax.jit(
@@ -302,32 +299,6 @@ class ServingEngine:
             if n <= b:
                 return b
         return self.cfg.max_seq
-
-    def _prefill_slot_fn(self, bucket: int) -> Callable:
-        """One fused (prefill -> slot write -> first-token) program per
-        prompt bucket: the per-request prefill cache is created inside the
-        trace (no eager allocation launches) and the serving cache is
-        donated so the slot write is in place in HBM."""
-        fn = self._prefill_slot.get(bucket)
-        if fn is not None:
-            return fn
-        cfg, prefill_fn, init_cache = self.cfg, self._prefill_fn, \
-            self._init_cache
-
-        @functools.partial(
-            jax.jit, donate_argnums=2,
-            out_shardings=(self._rep, self._kv_sh)
-            if self._multihost else None)
-        def f(params, toks, cache, slot, plen):
-            pcache = init_cache(cfg, 1, max_seq=bucket,
-                                dtype=cache["k"][0].dtype)
-            logits, pcache = prefill_fn(params, cfg, toks, pcache)
-            cache = merge_prefill_into_slot(cache, pcache, slot)
-            first = jnp.argmax(logits[0, plen - 1]).astype(jnp.int32)
-            return first, cache
-
-        self._prefill_slot[bucket] = f
-        return f
 
     def _prefill_batch_fn(self, bucket: int, n: int) -> Callable:
         """One fused (n-request prefill -> n slot writes -> n first
@@ -563,7 +534,7 @@ class ServingEngine:
     def _clear_executables(self) -> None:
         """Drop every compiled program so the retry re-traces — the analog
         of the reference's stream rebuild + handle rebind."""
-        self._prefill_slot.clear()
+        self._prefill_batch.clear()
         for fn in (self._decode, self._decode_multi,
                    getattr(self, "_verify", None)):
             clear = getattr(fn, "clear_cache", None)

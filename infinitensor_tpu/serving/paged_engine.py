@@ -249,29 +249,3 @@ class PagedServingEngine(ServingEngine):
 
         self._prefill_batch[key] = f
         return f
-
-    def _prefill_slot_fn(self, bucket: int):
-        """Fused (dense prefill -> page scatter -> first token) program per
-        bucket; the traced block-table row makes it slot-agnostic."""
-        fn = self._prefill_slot.get(bucket)
-        if fn is not None:
-            return fn
-        cfg, prefill_fn = self.cfg, self._prefill_fn
-        page_size, kv_quant = self.page_size, self.kv_quant
-
-        @functools.partial(
-            jax.jit, donate_argnums=2,
-            out_shardings=(self._rep, self._kv_sh)
-            if self._multihost else None)
-        def f(params, toks, cache, row, plen):
-            dtype = None if kv_quant else cache["k_pages"][0].dtype
-            pcache = init_kv_cache(cfg, 1, max_seq=bucket, dtype=dtype,
-                                   kv_quant=kv_quant)
-            logits, pcache = prefill_fn(params, cfg, toks, pcache)
-            cache = scatter_prefill_into_pages(cache, pcache, row,
-                                               page_size)
-            first = jnp.argmax(logits[0, plen - 1]).astype(jnp.int32)
-            return first, cache
-
-        self._prefill_slot[bucket] = f
-        return f

@@ -103,12 +103,18 @@ def main():
         "gbps": round(hbm / 1e9, 1),
         "method": "bench.measure_hbm_bw: repo's own dequant kernels, "
                   "12-pass chained diff, min-of-3, host fetch"})
-    chip = measure_chip_peak_bw(params)
-    emit("chip_peak_stream", {
-        "gbps": round(chip / 1e9, 1),
-        "method": "bench.measure_chip_peak_bw: pure abs-sum reduction "
-                  "over the same weight buffers (no dequant/matmul) — "
-                  "the independent denominator of the dual roofline"})
+    try:
+        # assumes the fused quantized layout (wqkv/w_gateup QuantizedLinear
+        # leaves); a float or unfused-param run must not kill the whole
+        # profile mid-TPU-session (bench.py guards the same call)
+        chip = measure_chip_peak_bw(params)
+        emit("chip_peak_stream", {
+            "gbps": round(chip / 1e9, 1),
+            "method": "bench.measure_chip_peak_bw: pure abs-sum reduction "
+                      "over the same weight buffers (no dequant/matmul) — "
+                      "the independent denominator of the dual roofline"})
+    except Exception as e:   # noqa: BLE001 — diagnostic continues without it
+        emit("chip_peak_stream", {"error": repr(e)[:200]})
 
     # ---- per-shape quant_matmul, both variants --------------------------
     kvd = cfg.n_kv_heads * cfg.head_dim
