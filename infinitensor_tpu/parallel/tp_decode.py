@@ -235,6 +235,162 @@ def make_tp_decode_step(cfg: LlamaConfig, mesh: Mesh, tp_axis: str = "tp",
     return step
 
 
+def make_tp_float_params(params: dict, cfg: LlamaConfig, tp: int) -> dict:
+    """Rank-stack FLOAT (bf16) Megatron shards of a models/llama.py param
+    pytree — the PREFILL-side layout (prefill is compute-bound, so it runs
+    bf16 while decode streams the quantized shards; docs/PREFILL_MFU.json).
+    Column shards split q/k/v and gate/up segment-wise (heads rank-local),
+    matching make_tp_quant_params."""
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0
+    assert cfg.dim % tp == 0 and cfg.intermediate % tp == 0
+
+    def col_seg(ws):
+        """shard each segment's out dim, concat rank parts, stack."""
+        shards = []
+        for r in range(tp):
+            parts = []
+            for w in ws:
+                n = w.shape[1] // tp
+                parts.append(w[:, r * n:(r + 1) * n])
+            shards.append(jnp.concatenate(parts, axis=1)
+                          if len(parts) > 1 else parts[0])
+        return jnp.stack(shards)
+
+    def row(w):
+        n = w.shape[0] // tp
+        return jnp.stack([w[r * n:(r + 1) * n, :] for r in range(tp)])
+
+    out = {"embed": params["embed"], "final_norm": params["final_norm"],
+           "lm_head": col_seg([params["lm_head"]]), "layers": []}
+    for layer in params["layers"]:
+        out["layers"].append({
+            "attn_norm": layer["attn_norm"],
+            "mlp_norm": layer["mlp_norm"],
+            "wqkv": col_seg([layer["wq"], layer["wk"], layer["wv"]]),
+            "wo": row(layer["wo"]),
+            "w_gateup": col_seg([layer["w_gate"], layer["w_up"]]),
+            "w_down": row(layer["w_down"])})
+    return out
+
+
+def make_tp_prefill_step(cfg: LlamaConfig, mesh: Mesh, tp_axis: str = "tp",
+                         dp_axis: Optional[str] = "dp",
+                         kv_quant: bool = True):
+    """Explicit shard_map Megatron TP PREFILL: fn(params_stacked, tokens
+    [B, S], cache) -> (last-position logits [B, vocab], cache').
+
+    The admission-side counterpart of make_tp_decode_step: per layer the
+    collective set is 2 psum([B, S, dim] bf16) (row-parallel wo/w_down
+    partials — S x the decode payload) plus one last-token lm_head vocab
+    gather; attention runs on rank-local heads (flash_attention kernel)
+    and the written KV shards land in the rank-local cache heads, ready
+    for the TP decode path. tools/scaling_report_v2.py audits this step's
+    compiled HLO for the 70B prefill budget (SCALING_70B v3)."""
+    from jax.experimental.shard_map import shard_map
+    from infinitensor_tpu.kernels.attention import quantize_kv_row
+    from infinitensor_tpu.kernels.flash_attention import flash_attention
+    from infinitensor_tpu.models.llama import rmsnorm, rope
+
+    tp = mesh.shape[tp_axis]
+    H_l, Hkv_l = cfg.n_heads // tp, cfg.n_kv_heads // tp
+    D, dim = cfg.head_dim, cfg.dim
+    kvd_l = Hkv_l * D
+    rep = H_l // Hkv_l
+
+    def local_prefill(params, tokens, cache):
+        B, S = tokens.shape
+        x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
+        pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        new = {k: [] for k in cache}
+        for i, layer in enumerate(params["layers"]):
+            hn = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+            qkv = jnp.matmul(hn, layer["wqkv"],
+                             preferred_element_type=jnp.float32
+                             ).astype(cfg.dtype)
+            q = qkv[..., :H_l * D].reshape(B, S, H_l, D)
+            k = qkv[..., H_l * D:H_l * D + kvd_l].reshape(B, S, Hkv_l, D)
+            v = qkv[..., H_l * D + kvd_l:].reshape(B, S, Hkv_l, D)
+            q = rope(q, pos, cfg.rope_theta)
+            k = rope(k, pos, cfg.rope_theta)
+            kh = jnp.swapaxes(k, 1, 2)
+            vh = jnp.swapaxes(v, 1, 2)
+            if kv_quant:
+                kq, ks = quantize_kv_row(kh)
+                vq, vs = quantize_kv_row(vh)
+                ck = jax.lax.dynamic_update_slice(cache["k"][i], kq,
+                                                  (0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cache["v"][i], vq,
+                                                  (0, 0, 0, 0))
+                new["k_scale"].append(jax.lax.dynamic_update_slice(
+                    cache["k_scale"][i], ks.astype(jnp.float32), (0, 0, 0)))
+                new["v_scale"].append(jax.lax.dynamic_update_slice(
+                    cache["v_scale"][i], vs.astype(jnp.float32), (0, 0, 0)))
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    cache["k"][i], kh.astype(cache["k"][i].dtype),
+                    (0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cache["v"][i], vh.astype(cache["v"][i].dtype),
+                    (0, 0, 0, 0))
+            new["k"].append(ck)
+            new["v"].append(cv)
+            kf = kh if rep == 1 else jnp.repeat(kh, rep, axis=1)
+            vf = vh if rep == 1 else jnp.repeat(vh, rep, axis=1)
+            att = jnp.swapaxes(
+                flash_attention(jnp.swapaxes(q, 1, 2), kf, vf, causal=True),
+                1, 2).reshape(B, S, H_l * D).astype(cfg.dtype)
+            x = x + jax.lax.psum(
+                jnp.matmul(att, layer["wo"],
+                           preferred_element_type=jnp.float32
+                           ).astype(cfg.dtype), tp_axis)
+            h2 = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+            gu = jnp.matmul(h2, layer["w_gateup"],
+                            preferred_element_type=jnp.float32)
+            inter_l = cfg.intermediate // tp
+            act = (jax.nn.silu(gu[..., :inter_l]) * gu[..., inter_l:]
+                   ).astype(cfg.dtype)
+            x = x + jax.lax.psum(
+                jnp.matmul(act, layer["w_down"],
+                           preferred_element_type=jnp.float32
+                           ).astype(cfg.dtype), tp_axis)
+        xf = rmsnorm(x[:, -1:], params["final_norm"], cfg.norm_eps)
+        logits_l = jnp.matmul(xf.reshape(B, dim), params["lm_head"],
+                              preferred_element_type=jnp.float32)
+        logits = jax.lax.all_gather(logits_l, tp_axis, axis=1, tiled=True)
+        return logits, new
+
+    def float_specs():
+        stacked = P(tp_axis, None, None)
+        return {
+            "embed": P(), "final_norm": P(), "lm_head": stacked,
+            "layers": [{"attn_norm": P(), "mlp_norm": P(),
+                        "wqkv": stacked, "wo": stacked,
+                        "w_gateup": stacked, "w_down": stacked}
+                       for _ in range(cfg.n_layers)],
+        }
+
+    def step(params, tokens, cache):
+        use_dp = (dp_axis and dp_axis in mesh.shape
+                  and mesh.shape[dp_axis] > 1)
+        b_spec = P(dp_axis) if use_dp else P()
+        cache_spec = jax.tree_util.tree_map(
+            lambda _: P(dp_axis if use_dp else None, tp_axis), cache)
+
+        def strip(p):
+            return jax.tree_util.tree_map(
+                lambda v: v[0] if v.ndim >= 3 else v, p)
+
+        fn = shard_map(
+            lambda pr, t, c: local_prefill(strip(pr), t, c),
+            mesh=mesh,
+            in_specs=(float_specs(), b_spec, cache_spec),
+            out_specs=(b_spec, cache_spec),
+            check_rep=False)
+        return fn(params, tokens, cache)
+
+    return step
+
+
 def init_tp_kv_cache(cfg: LlamaConfig, batch: int, tp: int,
                      max_seq: Optional[int] = None,
                      kv_quant: bool = True) -> dict:

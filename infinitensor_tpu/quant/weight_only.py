@@ -171,6 +171,27 @@ def dequantize_weight(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     return out[:, :q.out_logical] if q.out_logical else out
 
 
+def repack_int4_rows(packed: np.ndarray, start: int, rows: int) -> np.ndarray:
+    """Exact row-shard of a packed int4 qweight: unpack the split-half
+    nibble layout to integer values, slice UNPACKED rows [start, start+rows),
+    and re-pack the slice as its own split-half matrix (low nibble
+    offset-binary, matching quantize_weight). Pure integer manipulation —
+    bit-exact, no re-quantization (a dequantize->requantize round trip is
+    NOT identity when a group's absmax shrinks). Used by the graph TP
+    transform's row-parallel shards (parallel/graph_tp.py)."""
+    packed = np.asarray(packed)
+    u = packed.astype(np.int32)
+    lo = (u & 15) - 8
+    hi = (u << 24) >> 28
+    vals = np.concatenate([lo, hi], axis=0)          # [din, dout] in [-8,7]
+    assert rows % 2 == 0, "int4 shard must have even row count"
+    sl = vals[start:start + rows]
+    half = rows // 2
+    lo2 = ((sl[:half] + 8).astype(np.uint8)) & 0xF
+    hi2 = (sl[half:].astype(np.uint8) & 0xF) << 4
+    return (lo2 | hi2).astype(np.int8)
+
+
 def concat_qlinear(*qs: QuantizedLinear) -> QuantizedLinear:
     """Concatenate quantized matrices along the output dim (fused QKV /
     gate+up): fewer, larger kernels amortize per-call overhead. Requires

@@ -93,3 +93,46 @@ def test_tp_collectives_are_exactly_megatron(fparams):
     # nothing crosses dp: no group pairs devices from different dp rows
     for g in ars + ags:
         assert "T(" not in g, f"strided (dp-crossing) group: {g}"
+
+
+def test_tp_prefill_matches_single_device(fparams):
+    """Explicit shard_map TP prefill (admission path): last-token logits
+    and the written KV shards must match the single-device prefill; the
+    TP decode step must continue seamlessly from the TP-prefilled cache."""
+    from infinitensor_tpu.models.llama import llama_prefill
+    from infinitensor_tpu.parallel.tp_decode import (
+        make_tp_float_params, make_tp_prefill_step)
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs virtual mesh")
+    tp, dp = 4, 2
+    mesh = make_mesh({"dp": dp, "tp": tp}, devs[:8])
+    B, S = 2 * dp, 8
+    tokens = (jnp.arange(B * S, dtype=jnp.int32).reshape(B, S) % 200) + 3
+
+    cache = init_kv_cache(CFG, B, kv_quant=True, max_seq=CFG.max_seq)
+    want_logits, want_cache = llama_prefill(fparams, CFG, tokens, cache)
+    want_last = want_logits[:, -1]
+
+    pparams = make_tp_float_params(fparams, CFG, tp)
+    pstep = make_tp_prefill_step(CFG, mesh, kv_quant=True)
+    tcache = init_tp_kv_cache(CFG, B, tp, kv_quant=True)
+    got_last, got_cache = pstep(pparams, tokens, tcache)
+
+    np.testing.assert_allclose(np.asarray(got_last),
+                               np.asarray(want_last), rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got_cache["k"][0]),
+                                  np.asarray(want_cache["k"][0]))
+
+    # TP decode continues from the TP-prefilled cache
+    qparams = quantize_llama_params(fparams, bits=8, group_size=64,
+                                    fuse=False)
+    tok = jnp.argmax(want_last, axis=-1).astype(jnp.int32)
+    posS = jnp.full((B,), S, jnp.int32)
+    want2, _ = llama_decode_step(qparams, CFG, tok, posS, want_cache)
+    tparams = make_tp_quant_params(fparams, CFG, tp, bits=8, group_size=64)
+    dstep = make_tp_decode_step(CFG, mesh, kv_quant=True)
+    got2, _ = dstep(tparams, tok, posS, got_cache)
+    assert list(np.asarray(jnp.argmax(got2, -1))) == \
+        list(np.asarray(jnp.argmax(want2, -1)))

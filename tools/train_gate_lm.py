@@ -317,3 +317,38 @@ if __name__ == "__main__":
     from infinitensor_tpu.utils.watchdog import self_babysit
     self_babysit("GATE_CHILD")
     main()
+
+
+def eval_ppl_decode(params, cfg, eval_toks, kv_quant=True):
+    """Teacher-forced ppl through the FUSED MULTI-STEP DECODE LOOP — the
+    flagship serving path (bench.py): a lax.scan of llama_decode_step with
+    the INT8-KV cache, so on TPU the logits come from flash_decode_q8 +
+    the Pallas quant matmuls, not the prefill stack. Gate v3 certifies the
+    SHIPPED path (round-4 verdict weak #4): KV8 write/read error and the
+    decode kernels are inside the instrument."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from infinitensor_tpu.models.llama import (
+        init_kv_cache, llama_decode_step)
+
+    B, L = eval_toks.shape
+
+    def fw(p, toks):
+        cache = init_kv_cache(cfg, B, max_seq=L + 1, dtype=jnp.float32,
+                              kv_quant=kv_quant)
+
+        def body(carry, tok):
+            pos, cache = carry
+            logits, cache = llama_decode_step(p, cfg, tok, pos, cache)
+            return (pos + 1, cache), logits
+
+        toks_t = jnp.moveaxis(toks, 0, 1)           # [L, B]
+        (_, _), logits = jax.lax.scan(
+            body, (jnp.zeros((B,), jnp.int32), cache), toks_t)
+        return jnp.moveaxis(logits, 0, 1)           # [B, L, V]
+
+    v = float(np.asarray(jax.jit(
+        lambda p, t: nll(p, cfg, t, lambda pp, cc, tt: fw(pp, tt)))(
+            params, eval_toks)))
+    return float(np.exp(v)), v

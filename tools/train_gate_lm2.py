@@ -37,7 +37,7 @@ sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "tools"))
 print = functools.partial(print, flush=True)
 
-OUT = os.path.join(_ROOT, "docs", "PPL_GATE_V2.json")
+OUT = os.path.join(_ROOT, "docs", "PPL_GATE_V3.json")
 
 CB_P = 0.10          # callback probability
 CB_D = 16            # callback distance
@@ -147,7 +147,7 @@ def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
     import numpy as np
     from infinitensor_tpu.models.llama import quantize_llama_params
     from train_gate_lm import (confident_agreement, eval_ppl,
-                               noise_like_int4, train)
+                               eval_ppl_decode, noise_like_int4, train)
 
     vocab, seq = cfg.vocab_size, cfg.max_seq
     succ = build_tables_v2(vocab, seed=17)
@@ -190,6 +190,46 @@ def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
     slack = 0.5 / max(rows["int4"]["delta_abs"], 1e-9)
     teeth = (not rows["int4_naive"]["passes_int4_gate_0p5"]) or \
         (not rows["int3"]["passes_int4_gate_0p5"])
+
+    # ---- v3: the DECODE path (fused multi-step loop + INT8-KV cache —
+    # the flagship's actual serving configuration). delta_vs_fp32_prefill
+    # is the END-TO-END served-path error (weight quantizer + KV8 + decode
+    # kernels); delta_vs_fp32_decode isolates the weight quantizer with
+    # the cache effect held fixed.
+    ppl32_dec, _ = eval_ppl_decode(params, cfg, eval_toks, kv_quant=True)
+    drows = {}
+
+    def drow(name, p):
+        ppl, _ = eval_ppl_decode(p, cfg, eval_toks, kv_quant=True)
+        drows[name] = {
+            "ppl": round(ppl, 4),
+            "delta_vs_fp32_prefill": round(ppl - ppl32, 4),
+            "delta_vs_fp32_decode": round(ppl - ppl32_dec, 4),
+            "passes_int4_gate_0p5": bool(ppl - ppl32 <= 0.5),
+        }
+
+    drow("int8_kv8", quantize_llama_params(params, bits=8, group_size=128,
+                                           fuse=False))
+    drow("int4_kv8", quantize_llama_params(params, bits=4, group_size=128,
+                                           fuse=False))
+    for name, p in bad_quantizers(params).items():
+        drow(name + "_kv8", p)
+    dteeth = (not drows["int4_naive_kv8"]["passes_int4_gate_0p5"]) or \
+        (not drows["int3_kv8"]["passes_int4_gate_0p5"])
+    decode_entry = {
+        "eval": "teacher-forced lax.scan of llama_decode_step with "
+                "INT8-KV cache (train_gate_lm.eval_ppl_decode); on TPU "
+                "this exercises flash_decode_q8 + the Pallas quant "
+                "matmuls — the shipped serving path",
+        "ppl_fp32_decode_kv8": round(ppl32_dec, 4),
+        "kv8_cache_delta_alone": round(ppl32_dec - ppl32, 4),
+        "quantizers": drows,
+        "gate_int8_kv8_le_0p1": bool(
+            drows["int8_kv8"]["delta_vs_fp32_prefill"] <= 0.1),
+        "gate_int4_kv8_le_0p5": bool(
+            drows["int4_kv8"]["delta_vs_fp32_prefill"] <= 0.5),
+        "decode_instrument_has_teeth": bool(dteeth),
+    }
     entry = {
         "config": {"dim": cfg.dim, "n_layers": cfg.n_layers,
                    "vocab": vocab, "seq": seq, "steps": n_steps,
@@ -203,6 +243,7 @@ def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
         "gate_int4_le_0p5": bool(rows["int4"]["delta_abs"] <= 0.5),
         "int4_gate_slack_x": round(slack, 1),
         "instrument_has_teeth": bool(teeth),
+        "decode_path": decode_entry,
     }
     results["sizes"][tag] = entry
     print(f"# {tag}: {json.dumps(entry)}")
@@ -219,12 +260,13 @@ def main():
     np.asarray(jnp.zeros((1,)))
     print(f"# device ready: {jax.devices()[0]}")
     results = {
-        "protocol": "v2 hardened instrument: latent mixture of 4 "
-                    "order-2 grammars (4 successors at 0.4/0.3/0.2/0.1) "
-                    "+ 10% distance-16 callback tokens; measured oracle "
-                    "entropy floor; eval through llama_prefill vs "
-                    "production quantize_llama_params; matched-RMS "
-                    "noise control; int4_naive/int3 bad-quantizer teeth",
+        "protocol": "v3 instrument: v2's hardened corpus (latent mixture "
+                    "of order-2 grammars + 10% distance-16 callbacks, "
+                    "measured oracle floor, bad-quantizer teeth) with the "
+                    "eval additionally run through the DECODE path — "
+                    "teacher-forced lax.scan of llama_decode_step with "
+                    "INT8-KV cache, the flagship serving config — so the "
+                    "certified path is the shipped path",
         "sizes": {}}
     small = os.environ.get("GATE_SMALL")
     cfg_a = LlamaConfig(vocab_size=64, dim=256, n_layers=4, n_heads=4,
@@ -240,11 +282,15 @@ def main():
                  lr=5e-4)
     ok = all(e["gate_int8_le_0p1"] and e["gate_int4_le_0p5"]
              and e["fp32_ppl_ge_3"] and e["instrument_has_teeth"]
+             and e["decode_path"]["gate_int8_kv8_le_0p1"]
+             and e["decode_path"]["gate_int4_kv8_le_0p5"]
+             and e["decode_path"]["decode_instrument_has_teeth"]
              for e in results["sizes"].values())
     results["verdict"] = "PASS" if ok else "FAIL"
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
-    print(json.dumps({"metric": "trained ppl gate v2", "pass": ok}))
+    print(json.dumps({"metric": "trained ppl gate v3 (decode path)",
+                      "pass": ok}))
 
 
 if __name__ == "__main__":
