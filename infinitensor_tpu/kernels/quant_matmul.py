@@ -167,6 +167,102 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
 
 
 
+def _quantize_rows_i8(x):
+    """Per-token (row) symmetric int8 activation quantization. x [rows,
+    din] bf16 -> (xq int8, sx f32 [rows, 1]). Runs on the VPU inside the
+    kernel: the full row is present in every block, so the row max needs
+    no cross-block reduction."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-30) * jnp.float32(1.0 / 127.0)
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _group_dots_w4a8(x, qw_ref, sc_ref, o_ref, *, group_size, bits=4):
+    """W4A8 group dots (int4 split-half packing only): activations are
+    quantized per token-row to int8 IN the kernel, each nibble operand
+    is decoded by a single int8 AND (it STAYS int8 — no bf16 cast pass,
+    no 2x-width VMEM copy of the weight tile), and the MXU runs native
+    int8 x int8 -> int32 dots. Per-group exact-i32 partials are rescaled
+    once in f32; the per-row activation scale is applied once at the
+    end (linearity).
+
+    Exactness: every i32 partial is exact (|pd_lo| <= g*127*15,
+    |pd_hi| <= g*127*128 << 2^31); the only loss vs the bf16 kernel is
+    the int8 activation quantization itself — which the accuracy gate
+    (tools/ppl_gate.py) certifies. Round-5 probe basis: i8dot/i8nounpack
+    rows of docs/QMM_EXPLORE.json."""
+    bn = qw_ref.shape[1]
+    rows = x.shape[0]
+    g = group_size
+    half = qw_ref.shape[0]
+    ng_half = half // g
+    xq, sx = _quantize_rows_i8(x)
+    dn = (((1,), (0,)), ((), ()))
+    acc = jnp.zeros((rows, bn), jnp.float32)
+    if bits == 8:
+        # W8A8: weights are already int8 values — straight int8 MXU
+        # dots, one per scale group, partials rescaled in f32.
+        din = qw_ref.shape[0]
+        for c in range(din // g):
+            pd = jax.lax.dot_general(
+                xq[:, c * g:(c + 1) * g],
+                qw_ref[c * g:(c + 1) * g, :], dn,
+                preferred_element_type=jnp.int32)
+            acc = acc + pd.astype(jnp.float32) \
+                * sc_ref[c, :].astype(jnp.float32)[None, :]
+        o_ref[:, :] = (acc * sx).astype(o_ref.dtype)
+        return
+    for c in range(ng_half):
+        u8 = qw_ref[c * g:(c + 1) * g, :]
+        lo8 = u8 & jnp.int8(15)             # lo + 8 (offset-binary)
+        hi8 = u8 & jnp.int8(-16)            # 16 * hi
+        xl8 = xq[:, c * g:(c + 1) * g]
+        xh8 = xq[:, half + c * g:half + (c + 1) * g]
+        pd_lo = jax.lax.dot_general(xl8, lo8, dn,
+                                    preferred_element_type=jnp.int32)
+        pd_hi = jax.lax.dot_general(xh8, hi8, dn,
+                                    preferred_element_type=jnp.int32)
+        corr = jnp.sum(xl8.astype(jnp.int32), axis=1, keepdims=True) * 8
+        s_lo = sc_ref[c, :].astype(jnp.float32)
+        s_hi = sc_ref[ng_half + c, :].astype(jnp.float32) \
+            * jnp.float32(0.0625)
+        acc = acc + (pd_lo - corr).astype(jnp.float32) * s_lo[None, :] \
+            + pd_hi.astype(jnp.float32) * s_hi[None, :]
+    o_ref[:, :] = (acc * sx).astype(o_ref.dtype)
+
+
+def _kernel_group_w4a8(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size):
+    _group_dots_w4a8(x_ref[:, :], qw_ref, sc_ref, o_ref,
+                     group_size=group_size, bits=bits)
+
+
+def _kernel_group_norm_w4a8(x_ref, nw_ref, qw_ref, sc_ref, o_ref, *,
+                            bits, group_size, eps):
+    """RMSNorm fused ahead of the W4A8 quantize+dots (decode's
+    pre-attention / pre-MLP pattern)."""
+    x32 = x_ref[:, :].astype(jnp.float32)
+    ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    xn = (x32 * jax.lax.rsqrt(ms + eps)).astype(jnp.bfloat16) \
+        * nw_ref[:, :].astype(jnp.bfloat16)
+    _group_dots_w4a8(xn, qw_ref, sc_ref, o_ref, group_size=group_size,
+                     bits=bits)
+
+
+def quant_matmul_w4a8_ref(x, q: QuantizedLinear):
+    """jnp oracle for the W4A8 kernels: same per-row int8 activation
+    quantization, weights dequantized in f32 (the kernel's grouped i32
+    partials are exact, so this matches to f32-rounding)."""
+    *lead, din = x.shape
+    x2 = x.reshape(-1, din)
+    xq, sx = _quantize_rows_i8(x2)
+    w = dequantize_weight(q, dtype=jnp.float32)   # [din, out_features]
+    out = (jnp.matmul(xq.astype(jnp.float32), w,
+                      preferred_element_type=jnp.float32) * sx)
+    return out.astype(x.dtype).reshape(*lead, q.out_features)
+
+
 def _kernel_group2d(x_lo_ref, x_hi_ref, qw_ref, sc_ref,
                     o_ref, acc_ref, *, bits, group_size):
     """2D-grid group-dot kernel: grid (dout/bn, kr/kb), k innermost. The
@@ -369,10 +465,19 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
             or x.dtype != jnp.bfloat16):
         return fallback()
 
+    variant = (tuned or {}).get("variant") \
+        or os.environ.get("INFINITPU_QMM_VARIANT", "group")
+    if variant == "w4a8":
+        norm_kernel = functools.partial(
+            _kernel_group_norm_w4a8, bits=q.bits,
+            group_size=q.group_size, eps=eps)
+    else:
+        norm_kernel = functools.partial(
+            _kernel_group_norm, bits=q.bits, group_size=q.group_size,
+            eps=eps)
     nw2 = norm_w.reshape(1, din)
     out = pl.pallas_call(
-        functools.partial(_kernel_group_norm, bits=q.bits,
-                          group_size=q.group_size, eps=eps),
+        norm_kernel,
         grid=(dout // bn,),
         in_specs=[
             pl.BlockSpec((pad_rows, din), lambda j: (0, 0)),
@@ -435,13 +540,18 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     bn = block_out or _pick_bn(dout, din, q.bits)
     ng = q.scales.shape[0]
     group_ok = (din // pack) % q.group_size == 0 and q.group_size % 128 == 0
-    if variant == "group" and not group_ok:
+    if variant in ("group", "w4a8") and not group_ok:
         variant = "chunk"
+    if variant == "w4a8" and x.dtype != jnp.bfloat16:
+        variant = "group"   # in-kernel activation quant assumes bf16 in
     if (chunk == 0 or bn == 0 or chunk % 128 or pad_rows > 256
             or (q.bits == 4 and ng % 2)):
         return quant_matmul_ref(x, q)
 
-    if variant == "group":
+    if variant == "w4a8":
+        kernel = functools.partial(_kernel_group_w4a8, bits=q.bits,
+                                   group_size=q.group_size)
+    elif variant == "group":
         kernel = functools.partial(_kernel_group, bits=q.bits,
                                    group_size=q.group_size)
     else:

@@ -238,3 +238,49 @@ def test_band_kernels_interpret(rng):
     for key in want:
         np.testing.assert_allclose(got[key], want[key], rtol=1e-4,
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_matmul_w4a8_interpret(rng, bits):
+    """W4A8 kernel (int8 activations, int8 MXU dots, scales on i32
+    partials) vs its jnp oracle (tight: only f32 reduction-order
+    differs) and vs the float matmul (loose: activation-quant error)."""
+    import jax.numpy as jnp
+    din, dout = 512, 256
+    w = rng.standard_normal((din, dout)).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w), bits=bits, group_size=128)
+    x = jnp.asarray(rng.standard_normal((3, din)), jnp.bfloat16)
+    want = qm.quant_matmul_w4a8_ref(x, q)
+    got = qm.quant_matmul(x, q, interpret=True, variant="w4a8")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.25, rtol=0.03)
+    # the ADDED error of activation quantization (vs the weight-only
+    # bf16 kernel on the same quantized weights) stays small
+    wo = np.asarray(qm.quant_matmul_ref(x, q), np.float32)
+    rel = np.max(np.abs(np.asarray(got, np.float32) - wo)) \
+        / (np.max(np.abs(wo)) + 1e-9)
+    assert rel < 0.08, rel
+
+
+def test_quant_matmul_norm_w4a8_interpret(rng, monkeypatch):
+    """Fused-norm W4A8 kernel vs norm-then-w4a8-kernel composition."""
+    import jax
+    import jax.numpy as jnp
+    din, dout, eps = 512, 256, 1e-5
+    w = rng.standard_normal((din, dout)).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w), bits=4, group_size=128)
+    x = jnp.asarray(rng.standard_normal((2, din)), jnp.bfloat16)
+    nw = jnp.asarray(rng.uniform(0.5, 1.5, (din,)), jnp.bfloat16)
+    monkeypatch.setenv("INFINITPU_QMM_VARIANT", "w4a8")
+    fused = qm.quant_matmul_norm(x, nw, q, eps=eps, interpret=True)
+    x32 = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    xn = ((x32 * jax.lax.rsqrt(ms + eps)).astype(jnp.bfloat16)
+          * nw).astype(jnp.bfloat16)
+    unfused = qm.quant_matmul(xn, q, interpret=True, variant="w4a8")
+    # fused-vs-unfused can differ by single int8 rounding flips when a
+    # 1-ulp bf16 difference in the normalized input crosses a round()
+    # boundary — bound the difference relative to the output scale
+    f, u = np.asarray(fused, np.float32), np.asarray(unfused, np.float32)
+    assert np.max(np.abs(f - u)) / (np.max(np.abs(u)) + 1e-9) < 0.03

@@ -16,6 +16,24 @@ DMA ceiling / int4 unpack / MXU dots / scale multiplies / x re-fetch:
   slab     unpack a 2-group slab, ONE dot per 256 rows, scales folded
            into x columns per slab half (halves MXU call count)
 
+Round-5 variants (decompose the fuse4 -> nounpack gap: 616-683 vs
+810-1030 GB/s; the unpack is free, so what costs?):
+
+  and2       fuse4's TWO AND+cast decodes + 2 dots + group scales but
+             NO dot-bias correction -> isolates the correction cost
+  i8nounpack ONE int8 dot per packed group, raw bytes as the operand,
+             NO bf16 cast at all -> the int8-MXU ceiling (W4A8's roof)
+  i8dot      W4A8 candidate: x quantized to int8 once per block, both
+             nibble operands decoded by one AND each (still int8!),
+             int8xint8->int32 MXU dots, scales applied to i32 partials
+  i8slab     one int8 dot per packed group over the concatenated
+             [xl|xh] x [lo;hi] slab (halves MXU calls; scale row
+             blended -> perf probe only)
+  gs256/512  fuse4 with an EFFECTIVE scale group of 256/512 rows
+             (fewer partial-dot scale applications + corrections;
+             models what a larger quant group buys before the gate
+             decides its accuracy cost)
+
 Protocol: runtime-trip-count fori chain (ONE compile per variant), K
 kernel calls per trip with a scalar data dependence, two-point diff,
 min-of-3, host fetch. Writes docs/QMM_EXPLORE.json.
@@ -76,6 +94,77 @@ def make_variant(variant, bn, group_size, rows, din, dout):
                 acc = acc + pd * sc_ref[c, :].astype(jnp.float32)[None, :]
             o_ref[:, :] = acc.astype(o_ref.dtype)
             return
+        if variant == "i8nounpack":
+            # int8-MXU ceiling: raw packed bytes straight into an
+            # int8xint8->i32 dot, one dot per packed group, scales on
+            # the i32 partials. No decode, no bf16 copy of the tile.
+            xq = (x * jnp.bfloat16(16.0)).astype(jnp.int8)
+            for c in range(ng_half):
+                pd = jax.lax.dot_general(
+                    xq[:, c * g:(c + 1) * g],
+                    qw_ref[c * g:(c + 1) * g, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = acc + pd.astype(jnp.float32) \
+                    * sc_ref[c, :].astype(jnp.float32)[None, :]
+            o_ref[:, :] = acc.astype(o_ref.dtype)
+            return
+        if variant in ("i8dot", "i8slab"):
+            # W4A8 candidate: quantize x once (per-block; the real
+            # kernel does it per token-row outside), decode each nibble
+            # with ONE int8 AND (operands stay int8 -> no bf16 cast
+            # pass, no 2x VMEM copy), int8 MXU dots, scales on partials.
+            xq = (x * jnp.bfloat16(16.0)).astype(jnp.int8)
+            dn = (((1,), (0,)), ((), ()))
+            for c in range(ng_half):
+                u8 = qw_ref[c * g:(c + 1) * g, :]
+                lo8 = u8 & jnp.int8(15)            # lo + 8, int8
+                hi8 = u8 & jnp.int8(-16)           # 16*hi, int8
+                xl8 = xq[:, c * g:(c + 1) * g]
+                xh8 = xq[:, half + c * g:half + (c + 1) * g]
+                if variant == "i8slab":
+                    w2 = jnp.concatenate([lo8, hi8], axis=0)
+                    x2 = jnp.concatenate([xl8, xh8], axis=1)
+                    pd = jax.lax.dot_general(
+                        x2, w2, dn, preferred_element_type=jnp.int32)
+                    acc = acc + pd.astype(jnp.float32) \
+                        * sc_ref[c, :].astype(jnp.float32)[None, :]
+                    continue
+                pd_lo = jax.lax.dot_general(
+                    xl8, lo8, dn, preferred_element_type=jnp.int32)
+                pd_hi = jax.lax.dot_general(
+                    xh8, hi8, dn, preferred_element_type=jnp.int32)
+                corr = jnp.sum(xl8.astype(jnp.int32), axis=1,
+                               keepdims=True) * 8
+                s_hi = sc_ref[ng_half + c, :].astype(jnp.float32) \
+                    * jnp.float32(0.0625)
+                acc = acc + (pd_lo - corr).astype(jnp.float32) \
+                    * sc_ref[c, :].astype(jnp.float32)[None, :]
+                acc = acc + pd_hi.astype(jnp.float32) * s_hi[None, :]
+            o_ref[:, :] = acc.astype(o_ref.dtype)
+            return
+        if variant in ("gs256", "gs512"):
+            # fuse4 math at an EFFECTIVE group of G rows: one scale
+            # application + one correction per G instead of per g.
+            G = 256 if variant == "gs256" else 512
+            stride = G // g
+            for c in range(half // G):
+                u8 = qw_ref[c * G:(c + 1) * G, :]
+                hi = (u8 & jnp.int8(-16)).astype(jnp.bfloat16)
+                lo = (u8 & jnp.int8(15)).astype(jnp.bfloat16)
+                xl = x[:, c * G:(c + 1) * G]
+                xh = x[:, half + c * G:half + (c + 1) * G]
+                pd_lo = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+                pd_hi = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+                corr = jnp.sum(xl.astype(jnp.float32), axis=1,
+                               keepdims=True) * jnp.float32(8.0)
+                s_lo = sc_ref[c * stride, :].astype(jnp.float32)
+                s_hi = sc_ref[ng_half + c * stride, :].astype(
+                    jnp.float32) * jnp.float32(0.0625)
+                acc = acc + (pd_lo - corr) * s_lo[None, :] \
+                    + pd_hi * s_hi[None, :]
+            o_ref[:, :] = acc.astype(o_ref.dtype)
+            return
         if variant == "dma":
             # true DMA ceiling: blocks stream in, near-zero VPU work
             o_ref[:, :] = (qw_ref[:rows, :].astype(jnp.float32)
@@ -95,6 +184,14 @@ def make_variant(variant, bn, group_size, rows, din, dout):
                 hi = (u8 & jnp.int8(-16)).astype(jnp.bfloat16)  # 16*hi
                 lo = ((u8 & jnp.int8(15)) ^ jnp.int8(8)
                       ).astype(jnp.bfloat16)                    # lo_s + 8
+                u = None
+            elif variant == "and2":
+                # fuse4's exact decode ops (two int8 ANDs + two bf16
+                # casts) but WITHOUT the dot-bias correction (group
+                # scale math below) -> isolates the correction's cost
+                u8 = qw_ref[c * g:(c + 1) * g, :]
+                hi = (u8 & jnp.int8(-16)).astype(jnp.bfloat16)  # 16*hi
+                lo = (u8 & jnp.int8(15)).astype(jnp.bfloat16)   # lo + 8
                 u = None
             elif variant == "andonly":
                 # perf probe: ONE int8 op + cast feeding each dot — does
@@ -223,18 +320,23 @@ def main():
     print(f"# device ready: {getattr(dev, 'device_kind', dev.platform)}")
     threading.Thread(target=heartbeat, daemon=True).start()
 
+    # all five decode-path shapes (physical/padded douts, tuned bns)
     shapes = {
-        "wo": (4096, 4096, (256, 1024)),
-        "w_down": (11008, 4096, (256,)),
+        "wo": (4096, 4096, (512, 1024)),
+        "w_down": (11008, 4096, (512,)),
         "wqkv": (4096, 12288, (1536,)),
+        "w_gateup": (4096, 22528, (1408,)),
+        "lm_head": (4096, 32000, (1280,)),
     }
+    if os.environ.get("QMM_SMALL"):
+        shapes = {"small": (512, 512, (128,))}
     only = os.environ.get("QMM_SHAPES")
     if only:
         shapes = {k: v for k, v in shapes.items() if k in only.split(",")}
     variants = os.environ.get(
         "QMM_VARIANTS",
-        "dma,stream0,stream,nounpack,noscale,group,hi4,bf16up,f32up,"
-        "slab").split(",")
+        "nounpack,i8nounpack,and2,fuse4,group,i8dot,i8slab,gs256,"
+        "gs512").split(",")
     rows, g = 8, 128
     # K=256 calls/trip: wo at ~15 us/pass needs ~4 ms of signal per trip
     # to clear tunnel jitter (round-3 lesson: <1 ms/pass sweeps are noise)
@@ -253,6 +355,12 @@ def main():
             if dout % bn:
                 continue
             for variant in variants:
+                if variant in ("gs256", "gs512") and \
+                        (din // 2) % (256 if variant == "gs256"
+                                      else 512):
+                    emit(f"{name}:bn{bn}:{variant}",
+                         {"skip": "half not divisible by group"})
+                    continue
                 fn = make_variant(variant, bn, g, rows, din, dout)
 
                 def chained(s, n, x, qw, sc):
