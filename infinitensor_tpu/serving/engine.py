@@ -605,6 +605,10 @@ class ServingEngine:
             self.stats["decode_launches"] += depth
             span = chunk * depth
             self.steps += span
+            # real slot-step occupancy (docs/SERVING_BUDGET.json):
+            # useful tokens / slot-steps burned, split by active vs all
+            self.stats["slot_steps_active"] += span * len(active)
+            self.stats["slot_steps_total"] += span * self.B
             t0 = time.perf_counter()
             for slot in active:
                 req = self.slots[slot]
@@ -612,6 +616,7 @@ class ServingEngine:
                     tok = int(toks[slot, j])
                     req.generated.append(tok)
                     self.tokens_out += 1
+                    self.stats["decode_tokens"] += 1
                     if (req.eos_id is not None and tok == req.eos_id) or \
                             len(req.generated) >= req.max_new_tokens:
                         break
@@ -633,11 +638,14 @@ class ServingEngine:
         self.stats["decode_fetch_s"] += time.perf_counter() - t0
         self.stats["decode_launches"] += 1
         self.steps += 1
+        self.stats["slot_steps_active"] += len(active)
+        self.stats["slot_steps_total"] += self.B
         for slot in active:
             req = self.slots[slot]
             tok = int(nxt[slot])
             req.generated.append(tok)
             self.tokens_out += 1
+            self.stats["decode_tokens"] += 1
             self.pos[slot] += 1
             self.last_token[slot] = tok
             hit_eos = req.eos_id is not None and tok == req.eos_id
