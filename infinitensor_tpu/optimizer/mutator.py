@@ -33,7 +33,8 @@ class RuleBasedMutator(Mutator):
     """Applies each applicable rule once, returning mutated clones."""
 
     RULES = ("conv1x1_to_matmul", "conv_to_im2col_matmul",
-             "merge_parallel_matmuls", "fold_transpose")
+             "merge_parallel_matmuls", "fold_transpose",
+             "band_attention_to_g2bmm")
 
     def run(self, graph: Graph) -> list[Graph]:
         out = []
@@ -148,6 +149,123 @@ class RuleBasedMutator(Mutator):
             g.add_op(Operator("Split", [big], [o1, o2],
                               {"axis": -1,
                                "split": [o1.shape[-1], o2.shape[-1]]}))
+            changed = True
+        return changed
+
+    @staticmethod
+    def _band_width_from_mask(mask: np.ndarray):
+        """mask [S, S] (possibly with leading 1-dims): 0 inside a
+        symmetric band |i-j| <= w, <= -1e8 outside -> w, else None."""
+        m = np.squeeze(mask)
+        if m.ndim != 2 or m.shape[0] != m.shape[1]:
+            return None
+        S = m.shape[0]
+        row0 = m[0]
+        inside = row0 >= -1.0
+        if not inside[0]:
+            return None
+        w = int(inside.argmin() - 1) if not inside.all() else S - 1
+        if w < 1 or w >= S - 1:
+            return None
+        i, j = np.indices(m.shape)
+        band = np.abs(i - j) <= w
+        if not ((np.abs(m[band]) < 1e-6).all()
+                and (m[~band] <= -1e8).all()):
+            return None
+        return w
+
+    def band_attention_to_g2bmm(self, g: Graph) -> bool:
+        """Longformer band attention written in STANDARD ops —
+            scores = MatMul(Q, K^T); masked = scores + band_mask;
+            probs = Softmax(masked); out = MatMul(probs, V)
+        with band_mask a constant 0/-1e9 band — becomes the band-kernel
+        form the reference ships a dedicated CUDA kernel for
+        (src/kernels/cuda/gbmm_g2bmm.cu):
+            band  = G2BMM(Q, K, w)            [b, S, 2w+1]
+            probs = Softmax(band + edge_mask) [b, S, 2w+1]
+            out   = GBMM(probs, V, w)         [b, S, D]
+        edge_mask re-masks the out-of-range diagonals at the sequence
+        edges (the kernel zero-fills them; softmax needs -inf). Exact:
+        in-band logits are identical and e^-1e9 == 0.0 in f32, so the
+        full-graph softmax assigns the SAME probabilities. The S x S
+        score tensor (and its S/(2w+1)-fold HBM traffic) never exists.
+        Measured 3.40x at kernel level (docs/DERIVATION_BENCH.json)."""
+        changed = False
+        for add in list(g.operators):
+            if add.op_type != "Add" or len(add.inputs) != 2:
+                continue
+            mm1 = add.inputs[0].source
+            mask_t = add.inputs[1]
+            if mm1 is None or mm1.op_type != "MatMul":
+                mm1, mask_t = mask_t.source if mask_t.source else None, \
+                    add.inputs[0]
+                if mm1 is None or mm1.op_type != "MatMul":
+                    continue
+            if not (mask_t.has_data() and len(add.outputs[0].targets) == 1
+                    and len(mm1.outputs[0].targets) == 1):
+                continue
+            sm = add.outputs[0].targets[0]
+            if sm.op_type != "Softmax" or \
+                    int(sm.attrs.get("axis", -1)) not in (-1, 2):
+                continue
+            if len(sm.outputs[0].targets) != 1:
+                continue
+            mm2 = sm.outputs[0].targets[0]
+            if mm2.op_type != "MatMul" or mm2.inputs[0] is not sm.outputs[0]:
+                continue
+            w = self._band_width_from_mask(mask_t.numpy())
+            if w is None:
+                continue
+            # resolve Q, K from the scores matmul: K^T via transB or an
+            # explicit Transpose of the last two dims
+            q = mm1.inputs[0]
+            kt = mm1.inputs[1]
+            if mm1.attrs.get("transB"):
+                k = kt
+            else:
+                tr = kt.source
+                perm_ok = tr is not None and tr.op_type == "Transpose" \
+                    and list(tr.attrs.get("perm", []))[-2:] == \
+                    [kt.rank - 1, kt.rank - 2]
+                if not perm_ok:
+                    continue
+                k = tr.inputs[0]
+            v = mm2.inputs[1]
+            if not (q.rank == 3 and k.rank == 3 and v.rank == 3
+                    and q.shape == k.shape):
+                continue
+            bz, S, D = q.shape
+            out = mm2.outputs[0]
+
+            band = TensorObj((bz, S, 2 * w + 1), q.dtype,
+                             name=f"{out.name}_band")
+            g.add_tensor(band)
+            i, j = np.indices((S, 2 * w + 1))
+            oob = ((i + j - w < 0) | (i + j - w >= S))
+            em = np.where(oob, np.float32(-1e9), np.float32(0.0))
+            from infinitensor_tpu.core.dtype import DataType
+            em_t = TensorObj((S, 2 * w + 1),
+                             DataType.from_numpy(np.dtype("float32")),
+                             role=TensorRole.WEIGHT,
+                             name=f"{out.name}_edge_mask")
+            em_t.set_data(em)
+            g.add_tensor(em_t)
+            masked = TensorObj((bz, S, 2 * w + 1), q.dtype,
+                               name=f"{out.name}_band_masked")
+            g.add_tensor(masked)
+            probs = TensorObj((bz, S, 2 * w + 1), q.dtype,
+                              name=f"{out.name}_band_probs")
+            g.add_tensor(probs)
+
+            g.remove_op(mm1)
+            g.remove_op(add)
+            g.remove_op(sm)
+            g.remove_op(mm2)
+            g.add_op(Operator("G2BMM", [q, k], [band],
+                              {"width": w, "dilation": 1}))
+            g.add_op(Operator("Add", [band, em_t], [masked], {}))
+            g.add_op(Operator("Softmax", [masked], [probs], {"axis": -1}))
+            g.add_op(Operator("GBMM", [probs, v], [out], {"dilation": 1}))
             changed = True
         return changed
 

@@ -57,25 +57,25 @@ class ModelDraft:
         self.cache = init_kv_cache(cfg, batch, max_seq=max_seq)
         self._prefill = jax.jit(llama_prefill, static_argnums=1,
                                 donate_argnums=3)
-        self._step = jax.jit(llama_decode_step, static_argnums=1,
-                             donate_argnums=4)
+        # all k draft steps fused into ONE launch (llama_decode_multi):
+        # a per-step launch loop costs (k-1) tunnel round-trips per
+        # verify — on a ~25 ms/launch tunnel that alone sinks
+        # speculation (docs/SPEC_DECODE.json mechanism section)
+        from infinitensor_tpu.models.llama import llama_decode_multi
+        self._multi = jax.jit(llama_decode_multi,
+                              static_argnums=(1, 5), donate_argnums=4)
 
     def start(self, prompt_tokens) -> None:
         _, self.cache = self._prefill(self.params, self.cfg,
                                       jnp.asarray(prompt_tokens), self.cache)
 
     def propose_batch(self, token, pos, k: int) -> np.ndarray:
-        """token/pos [B] -> proposals [B, k] (greedy)."""
-        toks = []
+        """token/pos [B] -> proposals [B, k] (greedy, one fused launch)."""
         tok = jnp.asarray(token, jnp.int32)
         p = jnp.asarray(pos, jnp.int32)
-        for _ in range(k):
-            logits, self.cache = self._step(self.params, self.cfg, tok, p,
-                                            self.cache)
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            p = p + 1
-            toks.append(tok)
-        return np.stack([np.asarray(t) for t in toks], axis=1)
+        toks, _, _, self.cache = self._multi(self.params, self.cfg, tok,
+                                             p, self.cache, k)
+        return np.asarray(toks, np.int32)
 
 
 def speculative_generate(params, cfg, prompt_tokens, n_steps: int,

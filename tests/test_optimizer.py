@@ -405,3 +405,42 @@ def test_rewrite_speedup_workload_parity(rng):
     b = GraphExecutor(opt).run(feed, return_numpy=True)[
         opt.outputs()[0].name]
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_band_attention_to_g2bmm_rewrite():
+    """Standard-op Longformer band attention (full masked S x S scores)
+    rewrites to G2BMM -> Softmax -> GBMM and matches numerically
+    (round-5: the derivation-engine band win carried to model level)."""
+    import numpy as np
+    import infinitensor_tpu as it
+    from infinitensor_tpu.optimizer.mutator import RuleBasedMutator
+    from infinitensor_tpu.runtime import GraphExecutor
+
+    bz, S, D, w = 2, 128, 64, 16
+    rng = np.random.default_rng(0)
+    h = it.GraphHandler(name="band_attn")
+    q = h.input((bz, S, D), name="q")
+    k = h.input((bz, S, D), name="k")
+    v = h.input((bz, S, D), name="v")
+    i, j = np.indices((S, S))
+    mask = np.where(np.abs(i - j) <= w, np.float32(0), np.float32(-1e9))
+    m = h.weight(mask, name="band_mask")
+    scores = h.matmul(q, h.transpose(k, perm=[0, 2, 1]))
+    probs = h.softmax(h.add(scores, m), axis=-1)
+    out = h.matmul(probs, v)
+    h.graph.infer_output_roles()
+
+    g2 = h.graph.clone()
+    mut = RuleBasedMutator()
+    assert mut.band_attention_to_g2bmm(g2)
+    g2.topo_sort()
+    ops = {o.op_type for o in g2.operators}
+    assert "G2BMM" in ops and "GBMM" in ops
+
+    feed = {"q": rng.standard_normal((bz, S, D)).astype(np.float32),
+            "k": rng.standard_normal((bz, S, D)).astype(np.float32),
+            "v": rng.standard_normal((bz, S, D)).astype(np.float32)}
+    r1 = np.asarray(GraphExecutor(h.graph).run(feed)[out.name])
+    r2 = np.asarray(GraphExecutor(g2).run(feed)[g2.outputs()[0].name])
+    err = np.max(np.abs(r1 - r2)) / (np.max(np.abs(r1)) + 1e-9)
+    assert err < 2e-3, err

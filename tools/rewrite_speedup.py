@@ -119,6 +119,38 @@ def build_inception(batch: int):
     return make(), make()
 
 
+def build_longformer(batch: int, heads: int, S: int, D: int, w: int):
+    """Longformer band-attention block in STANDARD ops (full masked
+    S x S scores — what a stock ONNX export of band attention looks
+    like), through the ONNX round trip so the measured win is on an
+    imported model. The SearchEngine's band_attention_to_g2bmm rule
+    (optimizer/mutator.py) must find the G2BMM/GBMM form (reference
+    nmutator.cc:27-75 + gbmm_g2bmm.cu)."""
+    import infinitensor_tpu as it
+    from infinitensor_tpu.onnx.exporter import export_onnx
+    from infinitensor_tpu.onnx.importer import OnnxStub
+
+    bz = batch * heads
+    rng = np.random.default_rng(0)
+    i, j = np.indices((S, S))
+    mask = np.where(np.abs(i - j) <= w, np.float32(0), np.float32(-1e9))
+
+    def make():
+        h = it.GraphHandler(name="longformer_block")
+        q = h.input((bz, S, D), name="q")
+        k = h.input((bz, S, D), name="k")
+        v = h.input((bz, S, D), name="v")
+        m = h.weight(mask, name="band_mask")
+        scores = h.matmul(q, h.transpose(k, perm=[0, 2, 1]))
+        probs = h.softmax(h.add(scores, m), axis=-1)
+        h.matmul(probs, v)
+        stub = OnnxStub(export_onnx(h.graph, "longformer").serialize())
+        g = stub.handler.graph
+        g.infer_output_roles()
+        return g
+    return make(), make()
+
+
 def main():
     layers = int(os.environ.get("RS_LAYERS", "12"))
     batch = int(os.environ.get("RS_BATCH", "8"))
@@ -130,6 +162,36 @@ def main():
     from infinitensor_tpu.optimizer.mutator import RuleBasedMutator
     from infinitensor_tpu.optimizer.search import SearchEngine
 
+    if model == "longformer":
+        B = int(os.environ.get("RS_BATCH", "1"))
+        H = int(os.environ.get("RS_HEADS", "8"))
+        S = int(os.environ.get("RS_SEQ", "2048"))
+        D = int(os.environ.get("RS_HEADDIM", "128"))
+        w = int(os.environ.get("RS_BAND", "64"))
+        base, opt = build_longformer(B, H, S, D, w)
+        opt = SearchEngine().run(opt)
+        opt.topo_sort()
+        ops_after = {o.op_type for o in opt.operators}
+        picked = "G2BMM" in ops_after and "GBMM" in ops_after
+        if not picked:
+            # the measured cost model kept the dense form (expected on
+            # CPU, where XLA's full matmul beats the gather-form band);
+            # time the forced band variant anyway so the delta is
+            # recorded either way
+            mut = RuleBasedMutator()
+            forced = base.clone()
+            assert mut.band_attention_to_g2bmm(forced), \
+                "band rule did not match the imported graph"
+            forced.topo_sort()
+            opt = forced
+        rng = np.random.default_rng(1)
+        feed = {n: rng.standard_normal((B * H, S, D)).astype(np.float32)
+                * 0.5 for n in ("q", "k", "v")}
+        run_pair(base, opt, feed, n, extra={
+            "model": "longformer_block(imported ONNX, standard ops)",
+            "batch": B, "heads": H, "seq": S, "head_dim": D, "band_w": w,
+            "search_picked_band": picked})
+        return
     if model == "inception":
         base, opt = build_inception(batch)
         from infinitensor_tpu.optimizer.merge import (
