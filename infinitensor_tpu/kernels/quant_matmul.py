@@ -498,19 +498,25 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     """x [..., din] @ q -> [..., dout].
 
     variant: "group" (default; scales applied to group-partial dots —
-    measured faster on-chip, the weight path is pure cast) or "chunk"
-    (scales multiplied into dequantized weight chunks); env override
+    measured faster on-chip, the weight path is pure cast), "chunk"
+    (scales multiplied into dequantized weight chunks), or "w4a8"
+    (per-token int8 activations + int8 MXU dots); env override
     INFINITPU_QMM_VARIANT."""
-    if not use_pallas(interpret):
-        return quant_matmul_ref(x, q)
-    interpret = interpret or (pallas_interpret() and not is_tpu())
     tuned = _tuned(x.shape[-1], q.out_features, q.bits)
     if tuned:
         block_out = block_out or int(tuned.get("bn", 0))
         variant = variant or tuned.get("variant")
+    variant = variant or os.environ.get("INFINITPU_QMM_VARIANT", "group")
+    if not use_pallas(interpret):
+        # the w4a8 fallback keeps the activation-quant error IN the
+        # math off-TPU, so accuracy gates certify the same semantics
+        # the chip runs
+        if variant == "w4a8":
+            return quant_matmul_w4a8_ref(x, q)
+        return quant_matmul_ref(x, q)
+    interpret = interpret or (pallas_interpret() and not is_tpu())
     if block_out and q.out_physical % block_out:
         block_out = 0               # tuned bn from a different padding
-    variant = variant or os.environ.get("INFINITPU_QMM_VARIANT", "group")
     if variant == "group2d" and tuned and tuned.get("kb"):
         kb = int(tuned["kb"])
         kr = q.qweight.shape[0]
@@ -542,8 +548,8 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     group_ok = (din // pack) % q.group_size == 0 and q.group_size % 128 == 0
     if variant in ("group", "w4a8") and not group_ok:
         variant = "chunk"
-    if variant == "w4a8" and x.dtype != jnp.bfloat16:
-        variant = "group"   # in-kernel activation quant assumes bf16 in
+    if variant == "w4a8" and x.dtype not in (jnp.bfloat16, jnp.float32):
+        variant = "group"   # in-kernel activation quant: bf16/f32 input
     if (chunk == 0 or bn == 0 or chunk % 128 or pad_rows > 256
             or (q.bits == 4 and ng % 2)):
         return quant_matmul_ref(x, q)

@@ -53,10 +53,24 @@ def main():
     np.asarray(jnp.zeros((1,)))
     print(f"# device ready: {jax.devices()[0]}", flush=True)
     threading.Thread(target=heartbeat, daemon=True).start()
-    cfg = LlamaConfig(max_seq=2048)
+    model = os.environ.get("QMM_MODEL", "llama7b")
     t0 = time.time()
-    params = build_quant_params(cfg, jax.random.PRNGKey(0))
-    params = jax.block_until_ready(params)
+    if model == "gpt2":
+        # serving shapes: GPT-2 345M INT8 at the 16-slot batch. Small
+        # douts make 1-8-step grids (no pipelining) — the sweep's 2D
+        # (k-split) and w8a8 candidates matter most here.
+        from infinitensor_tpu.models.gpt2 import (
+            GPT2Config, init_gpt2_params, quantize_gpt2_params)
+        cfg = GPT2Config(max_seq=int(os.environ.get("SERVE_MAXSEQ",
+                                                    "384")))
+        params = quantize_gpt2_params(
+            init_gpt2_params(cfg, jax.random.PRNGKey(0)), bits=8,
+            group_size=128)
+        params = jax.block_until_ready(params)
+    else:
+        cfg = LlamaConfig(max_seq=2048)
+        params = build_quant_params(cfg, jax.random.PRNGKey(0))
+        params = jax.block_until_ready(params)
     print(f"# params built in {time.time()-t0:.1f}s", flush=True)
 
     N_LO, N_HI = 1, 9
@@ -79,14 +93,25 @@ def main():
         print(f"#   {tag}: {dt*1e3:.3f} ms/pass (n_hi={n_hi})", flush=True)
         return dt
 
-    kvd = cfg.n_kv_heads * cfg.head_dim
-    shapes = {
-        "wqkv": (cfg.dim, cfg.dim + 2 * kvd),
-        "wo": (cfg.dim, cfg.dim),
-        "w_gateup": (cfg.dim, 2 * cfg.intermediate),
-        "w_down": (cfg.intermediate, cfg.dim),
-    }
-    bits = int(os.environ.get("BENCH_BITS", "4"))
+    if model == "gpt2":
+        shapes = {
+            "w_qkv": (cfg.dim, 3 * cfg.dim),
+            "w_o": (cfg.dim, cfg.dim),
+            "w_up": (cfg.dim, 4 * cfg.dim),
+            "w_down": (4 * cfg.dim, cfg.dim),
+        }
+        bits = 8
+    else:
+        kvd = cfg.n_kv_heads * cfg.head_dim
+        shapes = {
+            "wqkv": (cfg.dim, cfg.dim + 2 * kvd),
+            "wo": (cfg.dim, cfg.dim),
+            "w_gateup": (cfg.dim, 2 * cfg.intermediate),
+            "w_down": (cfg.intermediate, cfg.dim),
+        }
+        bits = int(os.environ.get("BENCH_BITS", "4"))
+    rows_x = int(os.environ.get("QMM_ROWS", "16" if model == "gpt2"
+                                else "1"))
     report = {"per_shape": {}}
     table = {}
 
@@ -96,7 +121,7 @@ def main():
     def sweep(name, din, dout, qls):
         wbytes = sum(int(q.qweight.size) + int(q.scales.size)
                      * q.scales.dtype.itemsize for q in qls)
-        x0 = jnp.ones((1, din), jnp.bfloat16)
+        x0 = jnp.ones((rows_x, din), jnp.bfloat16)
         dout_phys = qls[0].out_physical      # padded columns tile over
         if refine is not None:
             # refine mode: top-3 of a prior sweep, much longer chains
@@ -116,6 +141,11 @@ def main():
                 if tile_mb > 6.0 or (tile_mb < 0.2 and grid > 64):
                     continue
                 cands.append(("group", bn))
+                if os.environ.get("QMM_W4A8", "1") == "1":
+                    # round-5: int8-activation variant (int8 MXU dots,
+                    # no bf16 decode pass) — gated by PPL_GATE_V3 before
+                    # it can ship as a shape's tuned default
+                    cands.append(("w4a8", bn))
             cands.append(("chunk", 0))      # current default chunk config
             if os.environ.get("QMM_2D"):
                 kr = qls[0].qweight.shape[0]
@@ -172,7 +202,7 @@ def main():
             continue
         qls = [layer[name] for layer in params["layers"]]
         sweep(name, din, dout, qls)
-    if not only or "lm_head" in only:
+    if model != "gpt2" and (not only or "lm_head" in only):
         sweep("lm_head", cfg.dim, cfg.vocab_size, [params["lm_head"]] * 4)
 
     if os.path.exists(TABLE):           # merge over the existing table
@@ -185,6 +215,12 @@ def main():
     print(f"# table written: {json.dumps(table)}", flush=True)
 
     # ---- decode step with the table active ------------------------------
+    if model == "gpt2":
+        # serving-side re-measure happens in tools/serving_budget.py /
+        # serving_bench with the new table active
+        print(json.dumps({"metric": "qmm tune (gpt2 shapes)",
+                          "table": table}))
+        return
     cache = init_kv_cache(cfg, 1, kv_quant=True)
     cache = jax.block_until_ready(cache)
     tok = jnp.zeros((1,), jnp.int32)

@@ -212,6 +212,21 @@ def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
                                            fuse=False))
     drow("int4_kv8", quantize_llama_params(params, bits=4, group_size=128,
                                            fuse=False))
+    # W4A8 (round-5): SAME production int4 weights, decode matmuls run
+    # with per-token int8 activations (INFINITPU_QMM_VARIANT=w4a8 —
+    # resolved at trace time; eval_ppl_decode jits fresh per call, so
+    # the env applies; off-TPU the fallback is quant_matmul_w4a8_ref,
+    # which carries the same activation-quant math)
+    os.environ["INFINITPU_QMM_VARIANT"] = "w4a8"
+    try:
+        drow("int4_w4a8_kv8",
+             quantize_llama_params(params, bits=4, group_size=128,
+                                   fuse=False))
+        drow("int8_w8a8_kv8",
+             quantize_llama_params(params, bits=8, group_size=128,
+                                   fuse=False))
+    finally:
+        os.environ.pop("INFINITPU_QMM_VARIANT", None)
     for name, p in bad_quantizers(params).items():
         drow(name + "_kv8", p)
     dteeth = (not drows["int4_naive_kv8"]["passes_int4_gate_0p5"]) or \
@@ -228,6 +243,10 @@ def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
             drows["int8_kv8"]["delta_vs_fp32_prefill"] <= 0.1),
         "gate_int4_kv8_le_0p5": bool(
             drows["int4_kv8"]["delta_vs_fp32_prefill"] <= 0.5),
+        "gate_int4_w4a8_kv8_le_0p5": bool(
+            drows["int4_w4a8_kv8"]["delta_vs_fp32_prefill"] <= 0.5),
+        "gate_int8_w8a8_kv8_le_0p1": bool(
+            drows["int8_w8a8_kv8"]["delta_vs_fp32_prefill"] <= 0.1),
         "decode_instrument_has_teeth": bool(dteeth),
     }
     entry = {
