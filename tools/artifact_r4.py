@@ -90,7 +90,8 @@ def s_graph7b():
         bind_llama_weights, build_llama_decoder, make_fused_greedy_decode)
     from infinitensor_tpu.runtime.executor import GraphExecutor
 
-    ctx, multi, outer, reps = 1024, 128, 2, 2
+    ctx, multi, outer, reps = 1024, 128, 2, int(
+        os.environ.get("ARTIFACT_REPS", "3"))
     max_seq = (ctx + multi * outer + 2 + 127) // 128 * 128
     small = os.environ.get("ARTIFACT_SMALL")
     if small:
