@@ -45,13 +45,22 @@ def build_quant_params(cfg, key):
             group //= 2
         kq, ks = jax.random.split(k)
         logical = 0
+        logical_dout = dout
         if pad_to and dout % pad_to:
             # tile-friendly physical columns (quant/weight_only.py
             # out_logical): 22016 has no 128-multiple divisor above 512
             logical, dout = dout, dout + pad_to - dout % pad_to
         q = jax.random.randint(kq, (L, din if bits == 8 else din // 2, dout),
                                -127, 127, jnp.int8)
-        scales = jax.random.uniform(ks, (L, din // group, dout), jnp.float32,
+        # tuned 'slab' variant implies PAIRED scale groups (one scale row
+        # per split-half pair; kernels/quant_matmul._group_dots_slab) —
+        # the real quantizer path is quantize_weight(paired=True)
+        from infinitensor_tpu.kernels.quant_matmul import _tuned
+        tuned = _tuned(din, logical_dout, bits) or {}
+        ng = din // (2 * group) if (bits == 4 and
+                                    tuned.get("variant") == "slab") \
+            else din // group
+        scales = jax.random.uniform(ks, (L, ng, dout), jnp.float32,
                                     0.001, 0.02).astype(sdt)
         return [QuantizedLinear(q[i], scales[i], bits, group, logical)
                 for i in range(L)]

@@ -167,6 +167,53 @@ def _group_dots(x, qw_ref, sc_ref, o_ref, *, bits, group_size):
 
 
 
+def _group_dots_slab(x, qw_ref, sc_ref, o_ref, *, group_size):
+    """Slab kernel for PAIRED int4 quantization (quantize_weight
+    paired=True: one scale row covers both split halves of a group):
+    ONE 2g-deep MXU dot per packed group instead of fuse4's two g-deep
+    dots, and ONE scale multiply instead of two. The /16 of the high
+    nibble rides on the x half ([rows, g] multiply by 1/16 — exact in
+    bf16), the +8 of the offset-binary low nibble stays a per-group
+    dot-bias correction. Round-5 probe basis: i8slab rows of
+    docs/QMM_EXPLORE.json (w_down 863 vs fuse4 715 GB/s, wo:1024 918
+    vs 722)."""
+    bn = qw_ref.shape[1]
+    rows = x.shape[0]
+    g = group_size
+    half = qw_ref.shape[0]
+    ngh = half // g
+    acc = jnp.zeros((rows, bn), jnp.float32)
+    for c in range(ngh):
+        u8 = qw_ref[c * g:(c + 1) * g, :]
+        lo8 = (u8 & jnp.int8(15)).astype(jnp.bfloat16)     # lo + 8
+        hi16 = (u8 & jnp.int8(-16)).astype(jnp.bfloat16)   # 16 * hi
+        w2 = jnp.concatenate([lo8, hi16], axis=0)          # [2g, bn]
+        xl = x[:, c * g:(c + 1) * g]
+        xh = x[:, half + c * g:half + (c + 1) * g] \
+            * jnp.bfloat16(0.0625)                         # exact: 2^-4
+        x2 = jnp.concatenate([xl, xh], axis=1)             # [rows, 2g]
+        pd = jnp.dot(x2, w2, preferred_element_type=jnp.float32)
+        corr = jnp.sum(xl.astype(jnp.float32), axis=1,
+                       keepdims=True) * jnp.float32(8.0)
+        acc = acc + (pd - corr) \
+            * sc_ref[c, :].astype(jnp.float32)[None, :]
+    o_ref[:, :] = acc.astype(o_ref.dtype)
+
+
+def _kernel_group_slab(x_ref, qw_ref, sc_ref, o_ref, *, bits, group_size):
+    _group_dots_slab(x_ref[:, :], qw_ref, sc_ref, o_ref,
+                     group_size=group_size)
+
+
+def _kernel_group_norm_slab(x_ref, nw_ref, qw_ref, sc_ref, o_ref, *,
+                            bits, group_size, eps):
+    x32 = x_ref[:, :].astype(jnp.float32)
+    ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    xn = (x32 * jax.lax.rsqrt(ms + eps)).astype(jnp.bfloat16) \
+        * nw_ref[:, :].astype(jnp.bfloat16)
+    _group_dots_slab(xn, qw_ref, sc_ref, o_ref, group_size=group_size)
+
+
 def _quantize_rows_i8(x):
     """Per-token (row) symmetric int8 activation quantization. x [rows,
     din] bf16 -> (xq int8, sx f32 [rows, 1]). Runs on the VPU inside the
@@ -459,7 +506,7 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
     group_ok = (din // pack) % q.group_size == 0 and \
         q.group_size % 128 == 0
     if (not group_ok or bn == 0 or pad_rows > 256
-            or (q.bits == 4 and ng % 2)
+            or (q.bits == 4 and not q.paired and ng % 2)
             # the fused kernel normalizes into bf16; for wider activation
             # dtypes that would silently diverge from the unfused path
             or x.dtype != jnp.bfloat16):
@@ -467,7 +514,15 @@ def quant_matmul_norm(x, norm_w, q: QuantizedLinear, eps: float = 1e-5,
 
     variant = (tuned or {}).get("variant") \
         or os.environ.get("INFINITPU_QMM_VARIANT", "group")
-    if variant == "w4a8":
+    if q.bits == 4 and q.paired:
+        variant = "slab"
+    if variant == "slab":
+        if not (q.bits == 4 and q.paired):
+            return fallback()
+        norm_kernel = functools.partial(
+            _kernel_group_norm_slab, bits=q.bits,
+            group_size=q.group_size, eps=eps)
+    elif variant == "w4a8":
         norm_kernel = functools.partial(
             _kernel_group_norm_w4a8, bits=q.bits,
             group_size=q.group_size, eps=eps)
@@ -517,6 +572,8 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     interpret = interpret or (pallas_interpret() and not is_tpu())
     if block_out and q.out_physical % block_out:
         block_out = 0               # tuned bn from a different padding
+    if variant == "group2d" and q.bits == 4 and q.paired:
+        variant = "slab"        # 2d kernel reads the split-half scales
     if variant == "group2d" and tuned and tuned.get("kb"):
         kb = int(tuned["kb"])
         kr = q.qweight.shape[0]
@@ -546,15 +603,25 @@ def quant_matmul(x, q: QuantizedLinear, block_out: int = 0,
     bn = block_out or _pick_bn(dout, din, q.bits)
     ng = q.scales.shape[0]
     group_ok = (din // pack) % q.group_size == 0 and q.group_size % 128 == 0
-    if variant in ("group", "w4a8") and not group_ok:
+    paired = q.bits == 4 and q.paired
+    if paired:
+        variant = "slab"        # paired scales exist FOR the slab kernel
+    elif variant == "slab":
+        variant = "group"       # slab math needs the paired partition
+    if variant in ("group", "w4a8", "slab") and not group_ok:
         variant = "chunk"
     if variant == "w4a8" and x.dtype not in (jnp.bfloat16, jnp.float32):
         variant = "group"   # in-kernel activation quant: bf16/f32 input
+    if paired and variant != "slab":
+        return quant_matmul_ref(x, q)   # no other kernel reads paired sc
     if (chunk == 0 or bn == 0 or chunk % 128 or pad_rows > 256
-            or (q.bits == 4 and ng % 2)):
+            or (q.bits == 4 and not paired and ng % 2)):
         return quant_matmul_ref(x, q)
 
-    if variant == "w4a8":
+    if variant == "slab":
+        kernel = functools.partial(_kernel_group_slab, bits=q.bits,
+                                   group_size=q.group_size)
+    elif variant == "w4a8":
         kernel = functools.partial(_kernel_group_w4a8, bits=q.bits,
                                    group_size=q.group_size)
     elif variant == "group":

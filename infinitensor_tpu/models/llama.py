@@ -104,20 +104,27 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 def quantize_llama_params(params: dict, bits: int = 8,
                           group_size: Optional[int] = None,
-                          fuse: bool = True) -> dict:
+                          fuse: bool = True,
+                          paired: bool = False) -> dict:
     """Weight-only quantize all layer matmuls (+ lm_head).
 
     fuse=True additionally concatenates Q/K/V and gate/up into single
     quantized matrices ("wqkv", "w_gateup") — fewer, larger decode kernels
     (the Megatron fused-QKV layout; reference reaches the same via its
-    parallel-matmul merge mutator)."""
+    parallel-matmul merge mutator).
+
+    paired=True (int4): paired split-half scale groups for the slab
+    kernel (quantize_weight paired; effective group doubles — the
+    accuracy gate covers this config, docs/PPL_GATE_V3.json)."""
     from infinitensor_tpu.quant.weight_only import concat_qlinear
+    kw = {"paired": paired} if (paired and bits == 4) else {}
     out = {"embed": params["embed"], "final_norm": params["final_norm"],
-           "lm_head": quantize_weight(params["lm_head"], bits, group_size),
+           "lm_head": quantize_weight(params["lm_head"], bits, group_size,
+                                      **kw),
            "layers": []}
     for layer in params["layers"]:
         ql = {k: v for k, v in layer.items() if k not in _QUANT_KEYS}
-        qw = {k: quantize_weight(layer[k], bits, group_size)
+        qw = {k: quantize_weight(layer[k], bits, group_size, **kw)
               for k in _QUANT_KEYS}
         if fuse:
             ql["wqkv"] = concat_qlinear(qw["wq"], qw["wk"], qw["wv"])

@@ -431,6 +431,15 @@ class _Transform:
         stored = local_rows // 2 if bits == 4 else local_rows
         assert stored % g == 0, \
             f"group_size {g} must divide the row shard ({stored} stored rows)"
+        if bits == 4 and sc.shape[0] * g * 2 == din:
+            # paired split-half scales (slab kernel): a contiguous row
+            # shard mixes lo/hi rows of DIFFERENT paired groups, so the
+            # scale rows of a shard are not a slice — re-quantize the
+            # model without paired=True before applying row-parallel TP
+            raise NotImplementedError(
+                "row-parallel TP over PAIRED int4 scales is not "
+                "supported; quantize without paired=True (or shard this "
+                "matmul column-parallel)")
         qplan = ("row_q4",) if bits == 4 else ("row", 0)
         partial = self._emit_woq(op, x, qw, sc, nw, qplan, ("row", 0),
                                  None, defer_put=True)

@@ -77,15 +77,34 @@ class QuantizedLinear:
     def out_physical(self) -> int:
         return self.qweight.shape[-1]
 
+    @property
+    def paired(self) -> bool:
+        """True when int4 scale groups PAIR the split halves: one scale
+        row covers rows [c*g,(c+1)*g) AND [half+c*g, half+(c+1)*g) —
+        2*group_size weights per scale. Inferable from the scale count
+        (din/2g rows instead of din/g), so the byte layout and the
+        serialized form are unchanged (INT4_PACK_VERSION stays 2).
+        Enables the slab kernel: ONE 2g-deep MXU dot per packed group
+        (kernels/quant_matmul._group_dots_slab)."""
+        return (self.bits == 4 and self.group_size > 0
+                and self.scales.shape[0] * self.group_size * 2
+                == self.in_features)
+
 
 def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
-                    clip: str = "auto", pad_out: int = 0) -> QuantizedLinear:
+                    clip: str = "auto", pad_out: int = 0,
+                    paired: bool = False) -> QuantizedLinear:
     """Symmetric per-group-per-channel quantization of [in, out] weight.
 
     clip: "none" = absmax scales (plain RTN); "mse" = per-group clip-ratio
     search minimizing round-trip MSE (a calibration-free accuracy win that
     matters at 4 bits, where absmax outliers waste half the codebook);
     "auto" = mse for int4, none for int8 (int8 RTN error is already tiny).
+
+    paired (int4 only): one scale row covers the PAIRED split-half groups
+    (rows [c*g,(c+1)*g) + [half+c*g, half+(c+1)*g), 2g weights/scale) —
+    the grouping the slab kernel needs; effective group size doubles, so
+    the accuracy gate (docs/PPL_GATE_V3.json) decides admissibility.
     """
     w = jnp.asarray(w)
     din, dout = w.shape
@@ -101,6 +120,26 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
         if group_size == 0:
             group_size = din
             break
+    if paired:
+        assert bits == 4 and din % 2 == 0 and \
+            (din // 2) % group_size == 0, "paired needs int4 even-split"
+        half = din // 2
+        ngh = half // group_size
+        # paired view: group c = rows [c*g,(c+1)*g) + the mirrored half
+        wp = jnp.stack([w[:half].reshape(ngh, group_size, dout),
+                        w[half:].reshape(ngh, group_size, dout)],
+                       axis=1).reshape(ngh, 2 * group_size, dout)
+        qp = quantize_weight(wp.reshape(ngh * 2 * group_size, dout),
+                             bits=4, group_size=2 * group_size, clip=clip)
+        # un-interleave back to split-half row order, then pack
+        qv = _unpack_int4(qp.qweight).reshape(ngh, 2, group_size, dout)
+        q_lo = qv[:, 0].reshape(half, dout)
+        q_hi = qv[:, 1].reshape(half, dout)
+        lo = (q_lo.astype(jnp.int32) + 8).astype(jnp.uint8) & 0xF
+        hi = (q_hi.astype(jnp.uint8) & 0xF) << 4
+        packed = (lo | hi).astype(jnp.int8)
+        return QuantizedLinear(packed, qp.scales, 4, group_size,
+                               out_logical)
     ng = din // group_size
     wg = w.reshape(ng, group_size, dout).astype(jnp.float32)
     qmax = 127.0 if bits == 8 else 7.0
@@ -165,6 +204,14 @@ def dequantize_weight(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     w = _unpack_int4(q.qweight) if q.bits == 4 else q.qweight
     din, dout = w.shape
     ng = q.scales.shape[0]
+    if q.bits == 4 and q.paired:
+        # one scale row per paired split-half group: row i's group is
+        # (i % half) // group_size
+        half = din // 2
+        wf = w.reshape(2, ng, half // ng, dout).astype(dtype)
+        wf = wf * q.scales[None, :, None, :].astype(dtype)
+        out = wf.reshape(din, dout)
+        return out[:, :q.out_logical] if q.out_logical else out
     wf = w.reshape(ng, din // ng, dout).astype(dtype)
     wf = wf * q.scales[:, None, :].astype(dtype)
     out = wf.reshape(din, dout)

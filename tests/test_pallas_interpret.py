@@ -284,3 +284,41 @@ def test_quant_matmul_norm_w4a8_interpret(rng, monkeypatch):
     # boundary — bound the difference relative to the output scale
     f, u = np.asarray(fused, np.float32), np.asarray(unfused, np.float32)
     assert np.max(np.abs(f - u)) / (np.max(np.abs(u)) + 1e-9) < 0.03
+
+
+def test_quant_matmul_slab_paired_interpret(rng):
+    """Paired-group int4 (quantize_weight paired=True) + slab kernel
+    (one 2g-deep dot per packed group) vs the dequant oracle; norm-fused
+    twin vs composition. Tolerances are scale-relative (bf16 dots)."""
+    import jax
+    import jax.numpy as jnp
+    from infinitensor_tpu.quant.weight_only import dequantize_weight
+    din, dout = 512, 256
+    w = jnp.asarray(rng.standard_normal((din, dout)), jnp.float32)
+    qp = quantize_weight(w, bits=4, group_size=128, paired=True)
+    assert qp.paired and qp.scales.shape[0] == din // 256
+    # paired round-trip error stays close to the normal-group error
+    qn = quantize_weight(w, bits=4, group_size=128)
+    ep = float(jnp.sqrt(jnp.mean(jnp.square(
+        dequantize_weight(qp, jnp.float32) - w))))
+    en = float(jnp.sqrt(jnp.mean(jnp.square(
+        dequantize_weight(qn, jnp.float32) - w))))
+    assert ep < 1.25 * en, (ep, en)
+
+    x = jnp.asarray(rng.standard_normal((3, din)), jnp.bfloat16)
+    got = np.asarray(qm.quant_matmul(x, qp, interpret=True), np.float32)
+    want = np.asarray(qm.quant_matmul_ref(x, qp), np.float32)
+    scale = np.max(np.abs(want)) + 1e-9
+    assert np.max(np.abs(got - want)) / scale < 0.02
+
+    nw = jnp.asarray(rng.uniform(0.5, 1.5, (din,)), jnp.bfloat16)
+    fused = np.asarray(qm.quant_matmul_norm(x, nw, qp, interpret=True),
+                       np.float32)
+    x32 = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    xn = ((x32 * jax.lax.rsqrt(ms + 1e-5)).astype(jnp.bfloat16)
+          * nw).astype(jnp.bfloat16)
+    unfused = np.asarray(qm.quant_matmul(xn, qp, interpret=True),
+                         np.float32)
+    assert np.max(np.abs(fused - unfused)) / (np.max(np.abs(unfused))
+                                              + 1e-9) < 0.02

@@ -123,6 +123,11 @@ def main():
                      * q.scales.dtype.itemsize for q in qls)
         x0 = jnp.ones((rows_x, din), jnp.bfloat16)
         dout_phys = qls[0].out_physical      # padded columns tile over
+        # slab candidates run on PAIRED-scale twins (half the scale
+        # rows; timing-valid stand-in for quantize_weight(paired=True))
+        qls_p = [type(q)(q.qweight, q.scales[:q.scales.shape[0] // 2],
+                         q.bits, q.group_size, q.out_logical)
+                 for q in qls] if bits == 4 else None
         if refine is not None:
             # refine mode: top-3 of a prior sweep, much longer chains
             # (noise at the 0.4ms/pass shapes swamped a 9-pass diff)
@@ -141,6 +146,8 @@ def main():
                 if tile_mb > 6.0 or (tile_mb < 0.2 and grid > 64):
                     continue
                 cands.append(("group", bn))
+                if bits == 4 and os.environ.get("QMM_SLAB", "1") == "1":
+                    cands.append(("slab", bn))
                 if os.environ.get("QMM_W4A8", "1") == "1":
                     # round-5: int8-activation variant (int8 MXU dots,
                     # no bf16 decode pass) — gated by PPL_GATE_V3 before
@@ -178,7 +185,8 @@ def main():
                     return a
                 return jax.lax.fori_loop(0, n, body, seed)
             n_hi = (49 if refine is not None else None)
-            dt = two_point(chain, f"{name}:{variant}:bn{bn}", qls, x0,
+            data = qls_p if variant == "slab" else qls
+            dt = two_point(chain, f"{name}:{variant}:bn{bn}", data, x0,
                            n_hi=n_hi)
             rows[f"{variant}:bn{bn}"] = {
                 "ms": round(dt * 1e3, 4),

@@ -227,6 +227,11 @@ def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
                                    fuse=False))
     finally:
         os.environ.pop("INFINITPU_QMM_VARIANT", None)
+    # paired split-half groups (slab kernel; effective group 256) — the
+    # dispatch derives the variant from the quant itself
+    drow("int4_paired_slab_kv8",
+         quantize_llama_params(params, bits=4, group_size=128,
+                               fuse=False, paired=True))
     for name, p in bad_quantizers(params).items():
         drow(name + "_kv8", p)
     dteeth = (not drows["int4_naive_kv8"]["passes_int4_gate_0p5"]) or \
@@ -245,6 +250,9 @@ def run_size(tag, cfg, n_steps, batch, results, lr=1e-3):
             drows["int4_kv8"]["delta_vs_fp32_prefill"] <= 0.5),
         "gate_int4_w4a8_kv8_le_0p5": bool(
             drows["int4_w4a8_kv8"]["delta_vs_fp32_prefill"] <= 0.5),
+        "gate_int4_paired_slab_kv8_le_0p5": bool(
+            drows["int4_paired_slab_kv8"]["delta_vs_fp32_prefill"]
+            <= 0.5),
         "gate_int8_w8a8_kv8_le_0p1": bool(
             drows["int8_w8a8_kv8"]["delta_vs_fp32_prefill"] <= 0.1),
         "decode_instrument_has_teeth": bool(dteeth),
