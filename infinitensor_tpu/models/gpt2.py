@@ -81,7 +81,8 @@ def init_gpt2_params(cfg: GPT2Config, key, dtype=None) -> dict:
 _QKEYS = ("w_qkv", "w_o", "w_up", "w_down")
 
 
-def quantize_gpt2_params(params, bits=8, group_size: Optional[int] = None):
+def quantize_gpt2_params(params, bits=8, group_size: Optional[int] = None,
+                         quant_lm_head: bool = True):
     out = {k: v for k, v in params.items() if k != "layers"}
     out["layers"] = []
     for layer in params["layers"]:
@@ -89,6 +90,16 @@ def quantize_gpt2_params(params, bits=8, group_size: Optional[int] = None):
         for k in _QKEYS:
             ql[k] = quantize_weight(layer[k], bits, group_size)
         out["layers"].append(ql)
+    if quant_lm_head:
+        # GPT-2 ties lm_head to wte: the decode-step logits matmul
+        # streams wte.T (vocab x dim, 25% of the per-step bytes at 345M)
+        # in bf16 — store an int8 transposed copy for the matmul while
+        # the gather keeps the float wte (token rows are pennies)
+        # pad_out: 50257 has no 128-multiple divisor, which would push
+        # the Pallas kernel to its fallback; 51200 = 50 x 1024 tiles
+        out["lm_head_q"] = quantize_weight(
+            jnp.asarray(params["wte"]).T.astype(jnp.float32), bits,
+            group_size, pad_out=1024)
     return out
 
 
@@ -174,8 +185,11 @@ def gpt2_prefill(params, cfg: GPT2Config, tokens, cache):
         new_k.append(ck)
         new_v.append(cv)
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
-    logits = jnp.matmul(x, params["wte"].T,
-                        preferred_element_type=jnp.float32)
+    if "lm_head_q" in params:
+        logits = wo_matmul(x, params["lm_head_q"]).astype(jnp.float32)
+    else:
+        logits = jnp.matmul(x, params["wte"].T,
+                            preferred_element_type=jnp.float32)
     out_cache = {"k": new_k, "v": new_v}
     if quant_cache:
         out_cache["k_scale"] = new_ks
@@ -221,6 +235,9 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
         new["k"].append(ck)
         new["v"].append(cv)
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
-    logits = jnp.matmul(x[:, 0], params["wte"].T,
-                        preferred_element_type=jnp.float32)
+    if "lm_head_q" in params:
+        logits = wo_matmul(x[:, 0], params["lm_head_q"])
+    else:
+        logits = jnp.matmul(x[:, 0], params["wte"].T,
+                            preferred_element_type=jnp.float32)
     return logits.astype(jnp.float32), new
