@@ -135,7 +135,7 @@ def main():
             ranked = sorted((v["ms"], k) for k, v in prior.items()
                             if v["ms"] > 0)
             cands = []
-            for _, k in ranked[:3]:
+            for _, k in ranked[:4]:
                 variant, bn = k.split(":bn")
                 cands.append((variant, int(bn)))
         else:
