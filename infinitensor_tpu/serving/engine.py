@@ -133,7 +133,8 @@ class ServingEngine:
                  decode_chunk: int = 1, kv_quant: bool = False,
                  mesh=None, param_specs=None, cache_specs=None,
                  spec_decode: int = 0, verify_fn=None, draft=None,
-                 checkpoint_interval: int = 0, pipeline_depth: int = 1):
+                 checkpoint_interval: int = 0, pipeline_depth: int = 1,
+                 lookahead: bool = False):
         self.params = params
         self.cfg = cfg
         self.B = max_slots
@@ -251,6 +252,17 @@ class ServingEngine:
         # group never outruns the shortest request's remaining budget, so
         # the only waste is the existing within-chunk eos truncation.
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # one-group decode lookahead: dispatch group k+1 (token/pos
+        # chained DEVICE-side from group k's outputs) BEFORE fetching
+        # group k's tokens, so the fetch round-trip and host bookkeeping
+        # overlap the next group's device compute. Retirement/admission
+        # decisions lag one group (wasted slot-steps bounded by one
+        # group; admission flushes first). Round-5 drain finding: a
+        # decode launch cost ~RT more than its device time
+        # (docs/SERVING_BUDGET.json drain_decomposition).
+        self.lookahead = bool(lookahead)
+        self._inflight: Optional[tuple] = None   # (groups, span, active)
+        self._dev_state: Optional[tuple] = None  # (token, pos) on device
         # utilization budget (docs/SERVING_BUDGET.json): wall-time slices
         # of the serving loop — prefill (launch+fetch), decode dispatch,
         # decode fetch (device compute drains here), host bookkeeping.
@@ -467,6 +479,7 @@ class ServingEngine:
         tables, slot positions, and the KV cache fetched to host numpy.
         The result is process-independent — `restore` on a freshly built
         engine (same config) resumes mid-stream generation exactly."""
+        self._flush_inflight()     # host state must be current
         return {
             "pending": [self._pack_req(r) for r in self.pending],
             "slots": [None if r is None else self._pack_req(r)
@@ -481,6 +494,8 @@ class ServingEngine:
         }
 
     def restore(self, snap: dict) -> None:
+        self._inflight = None      # in-flight groups predate the snap
+        self._dev_state = None
         """Restore a `snapshot()`. Live Request objects are matched by uid
         and updated in place (caller-held handles stay valid across an
         in-process recovery); unmatched entries get fresh objects (the
@@ -562,19 +577,116 @@ class ServingEngine:
             self.restore(self._snap)
             return self._step_inner()
 
+    def _flush_inflight(self) -> None:
+        """Process any dispatched-but-unfetched lookahead group so host
+        state (pos/last_token/slots) is current. Must run before
+        admission, snapshot, or any host decision that reads slot
+        state."""
+        if self._inflight is not None:
+            groups, span, active = self._inflight
+            self._inflight = None
+            self._process_groups(groups, span, active)
+            self._dev_state = None
+
+    def _dispatch_chunks(self, token, pos, depth: int):
+        t0 = time.perf_counter()
+        groups = []
+        for _ in range(depth):
+            toks, token, pos, self.cache = self._decode_multi(
+                self.params, token, pos, self.cache)
+            groups.append(toks)
+        self.stats["decode_dispatch_s"] += time.perf_counter() - t0
+        self.stats["decode_launches"] += depth
+        return groups, token, pos
+
+    def _process_groups(self, groups, span: int, active) -> int:
+        """Fetch a dispatched group's tokens and run the host
+        bookkeeping (emission, eos/max_new retirement). Returns the
+        number of retirements."""
+        t0 = time.perf_counter()
+        toks = np.concatenate(
+            [np.asarray(t, np.int32) for t in groups], axis=1)
+        self.stats["decode_fetch_s"] += time.perf_counter() - t0
+        self.steps += span
+        self.stats["slot_steps_active"] += span * len(active)
+        self.stats["slot_steps_total"] += span * self.B
+        retired = 0
+        t0 = time.perf_counter()
+        for slot in active:
+            req = self.slots[slot]
+            if req is None:     # retired while this group was in flight
+                continue
+            for j in range(span):
+                tok = int(toks[slot, j])
+                req.generated.append(tok)
+                self.tokens_out += 1
+                self.stats["decode_tokens"] += 1
+                if (req.eos_id is not None and tok == req.eos_id) or \
+                        len(req.generated) >= req.max_new_tokens:
+                    break
+            self.pos[slot] += span
+            self.last_token[slot] = int(toks[slot, span - 1])
+            req_done = (len(req.generated) >= req.max_new_tokens or
+                        (req.eos_id is not None and
+                         req.eos_id in req.generated) or
+                        self.pos[slot] + 1 >= self.cfg.max_seq)
+            if req_done:
+                self._retire(slot)
+                retired += 1
+        self.stats["decode_host_s"] += time.perf_counter() - t0
+        return retired
+
+    def _lookahead_step(self, active, chunk: int, depth: int) -> int:
+        """Dispatch the next decode group BEFORE fetching the previous
+        one: the fetch round-trip + host loop overlap the new group's
+        device compute. token/pos chain device-side between groups."""
+        span_new = depth * chunk
+        lag = self._inflight[1] if self._inflight is not None else 0
+        can_dispatch = int(self.pos[active].max()) + lag + span_new + 1 \
+            < self.cfg.max_seq
+        new_inflight = None
+        if can_dispatch:
+            if self._dev_state is not None:
+                token, pos = self._dev_state
+            else:
+                token = self._dev(self.last_token)
+                pos = self._dev(self.pos)
+            groups, token, pos = self._dispatch_chunks(token, pos, depth)
+            self._dev_state = (token, pos)
+            new_inflight = (groups, span_new, list(active))
+        if self._inflight is not None:
+            groups, span, g_active = self._inflight
+            self._inflight = None
+            retired = self._process_groups(groups, span, g_active)
+            if retired or self.pending:
+                # host slot state diverged from the device chain: the
+                # just-dispatched group must be drained too (its
+                # successor would otherwise be re-derived from host
+                # state that lags it — a double decode)
+                self._inflight = new_inflight
+                self._flush_inflight()
+                return len([r for r in self.slots if r is not None])
+        self._inflight = new_inflight
+        return len([r for r in self.slots if r is not None])
+
     def _step_inner(self) -> int:
+        if self.pending:
+            # admission writes prefill state the device chain can't see;
+            # catch host state up first
+            self._flush_inflight()
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
-            return 0
+            self._flush_inflight()
+            return len([r for r in self.slots if r is not None])
         if self.spec_decode >= 2 and \
                 int(self.pos[active].max()) + 2 * self.spec_decode < \
                 self.cfg.max_seq:
+            self._flush_inflight()
             return self._spec_step(active)
-        token = self._dev(self.last_token)
-        pos = self._dev(self.pos)
         chunk = self.decode_chunk
-        if chunk > 1 and int(self.pos[active].max()) + chunk + 1 < \
+        lag = self._inflight[1] if self._inflight is not None else 0
+        if chunk > 1 and int(self.pos[active].max()) + lag + chunk + 1 < \
                 self.cfg.max_seq:
             # pipeline depth: how many chunks can run before the host
             # MUST look at the tokens (shortest remaining budget /
@@ -591,45 +703,19 @@ class ServingEngine:
                 while depth > 1 and int(self.pos[active].max()) + \
                         depth * chunk + 1 >= self.cfg.max_seq:
                     depth -= 1
-            t0 = time.perf_counter()
-            groups = []
-            for _ in range(depth):
-                toks, token, pos, self.cache = self._decode_multi(
-                    self.params, token, pos, self.cache)
-                groups.append(toks)
-            self.stats["decode_dispatch_s"] += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            toks = np.concatenate(
-                [np.asarray(t, np.int32) for t in groups], axis=1)
-            self.stats["decode_fetch_s"] += time.perf_counter() - t0
-            self.stats["decode_launches"] += depth
-            span = chunk * depth
-            self.steps += span
-            # real slot-step occupancy (docs/SERVING_BUDGET.json):
-            # useful tokens / slot-steps burned, split by active vs all
-            self.stats["slot_steps_active"] += span * len(active)
-            self.stats["slot_steps_total"] += span * self.B
-            t0 = time.perf_counter()
-            for slot in active:
-                req = self.slots[slot]
-                for j in range(span):
-                    tok = int(toks[slot, j])
-                    req.generated.append(tok)
-                    self.tokens_out += 1
-                    self.stats["decode_tokens"] += 1
-                    if (req.eos_id is not None and tok == req.eos_id) or \
-                            len(req.generated) >= req.max_new_tokens:
-                        break
-                self.pos[slot] += span
-                self.last_token[slot] = int(toks[slot, span - 1])
-                req_done = (len(req.generated) >= req.max_new_tokens or
-                            (req.eos_id is not None and
-                             req.eos_id in req.generated) or
-                            self.pos[slot] + 1 >= self.cfg.max_seq)
-                if req_done:
-                    self._retire(slot)
-            self.stats["decode_host_s"] += time.perf_counter() - t0
+            if self.lookahead:
+                return self._lookahead_step(active, chunk, depth)
+            groups, _, _ = self._dispatch_chunks(
+                self._dev(self.last_token), self._dev(self.pos), depth)
+            self._process_groups(groups, chunk * depth, active)
             return len([r for r in self.slots if r is not None])
+        # single-step (or near-max_seq) path reads host state directly
+        self._flush_inflight()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return 0
+        token = self._dev(self.last_token)
+        pos = self._dev(self.pos)
         t0 = time.perf_counter()
         nxt, self.cache = self._decode(self.params, token, pos, self.cache)
         self.stats["decode_dispatch_s"] += time.perf_counter() - t0

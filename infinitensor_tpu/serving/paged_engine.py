@@ -77,7 +77,7 @@ class PagedServingEngine(ServingEngine):
                  prefill_fn=None, decode_fn=None, decode_chunk: int = 1,
                  kv_quant: bool = False, mesh=None, param_specs=None,
                  cache_specs=None, checkpoint_interval: int = 0,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1, lookahead: bool = False):
         self.page_size = int(page_size)
         self.kv_quant = bool(kv_quant)
         # prefill buckets must be page-aligned for the scatter
@@ -94,7 +94,8 @@ class PagedServingEngine(ServingEngine):
                          kv_quant=False, mesh=mesh, param_specs=param_specs,
                          cache_specs=cache_specs,
                          checkpoint_interval=checkpoint_interval,
-                         pipeline_depth=pipeline_depth)
+                         pipeline_depth=pipeline_depth,
+                         lookahead=lookahead)
         mp = int(self.cache["block_table"].shape[1])
         # page 0 reserved as the trash page: allocator hands out 1..N-1
         self.allocator = PageAllocator(n_pages, max_slots, mp)

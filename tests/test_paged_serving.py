@@ -110,3 +110,21 @@ def test_paged_chunked_decode(params, rng):
         e.run_to_completion()
         outs[name] = [r.generated[:m] for r, (_, m) in zip(rs, reqs)]
     assert outs["chunk"] == outs["one"]
+
+
+def test_paged_lookahead_parity(params, rng):
+    """Paged engine with decode lookahead matches the plain paged engine
+    token-for-token (page alloc/free interleaves with in-flight groups)."""
+    reqs = _requests(rng, n=8)
+
+    def run(lookahead):
+        eng = PagedServingEngine(params, CFG, max_slots=4, n_pages=33,
+                                 page_size=PAGE, prefill_buckets=(24,),
+                                 decode_chunk=4, pipeline_depth=2,
+                                 lookahead=lookahead)
+        rs = [eng.submit(list(p), max_new_tokens=m) for p, m in reqs]
+        eng.run_to_completion()
+        assert all(r.done for r in rs)
+        return [list(r.generated) for r in rs]
+
+    assert run(False) == run(True)

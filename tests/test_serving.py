@@ -294,3 +294,39 @@ def test_serving_stats_budget_slices(cfg, params):
     for k in ("prefill_s", "decode_dispatch_s", "decode_fetch_s",
               "decode_host_s"):
         assert s[k] >= 0.0
+
+
+def test_lookahead_parity_and_progress():
+    """lookahead=True (dispatch group k+1 before fetching group k) must
+    emit exactly the same tokens per request as the plain engine, across
+    admission waves, eos, and max_seq-bounded requests."""
+    import numpy as np
+    import jax.numpy as jnp
+    from infinitensor_tpu.models.llama import LlamaConfig
+    from infinitensor_tpu.serving import ServingEngine
+
+    cfg = LlamaConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=4, intermediate=128, max_seq=96,
+                      dtype=jnp.float32)
+    from infinitensor_tpu.models.llama import init_llama_params
+    import jax
+    params = init_llama_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, 128, int(n)))
+               for n in rng.integers(4, 20, 9)]
+
+    def run(lookahead):
+        eng = ServingEngine(params, cfg, max_slots=4,
+                            prefill_buckets=(32,), decode_chunk=8,
+                            pipeline_depth=2, lookahead=lookahead)
+        reqs = [eng.submit(list(p), max_new_tokens=int(12 + i % 9),
+                           eos_id=None)
+                for i, p in enumerate(prompts)]
+        eng.run_to_completion()
+        assert all(r.done for r in reqs)
+        return [list(r.generated) for r in reqs]
+
+    base = run(False)
+    look = run(True)
+    assert base == look

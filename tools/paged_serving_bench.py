@@ -50,7 +50,8 @@ def main():
     build_s = time.time() - t0
 
     pipeline = int(os.environ.get("PAGED_PIPELINE", "4"))
-    eng = PagedServingEngine(params, cfg, max_slots=slots, n_pages=n_pages,
+    eng = PagedServingEngine(params, cfg, max_slots=slots,
+        lookahead=os.environ.get("SERVE_LOOKAHEAD", "1") == "1", n_pages=n_pages,
                              page_size=page, prefill_buckets=(64, 256),
                              decode_chunk=chunk, kv_quant=kv_quant,
                              pipeline_depth=pipeline)

@@ -55,6 +55,7 @@ def main():
     init_cache = functools.partial(init_gpt2_cache, kv_quant=True) \
         if kv_int8 else init_gpt2_cache
     eng = ServingEngine(params, cfg, max_slots=slots,
+        lookahead=os.environ.get("SERVE_LOOKAHEAD", "1") == "1",
                         prefill_buckets=(64, 256),
                         prefill_fn=gpt2_prefill, decode_fn=gpt2_decode_step,
                         init_cache_fn=init_cache, decode_chunk=chunk,

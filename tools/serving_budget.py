@@ -76,7 +76,9 @@ def quant_param_bytes(params) -> int:
             total += int(o.scales.size) * o.scales.dtype.itemsize
         elif isinstance(o, dict):
             for k, v in o.items():
-                if k == "embed":        # gather, not streamed
+                # gathers, not streamed (wte's matmul role is carried by
+                # the int8 lm_head_q copy since round 5)
+                if k in ("embed", "wte", "wpe"):
                     continue
                 walk(v)
         elif isinstance(o, (list, tuple)):
@@ -208,6 +210,7 @@ def main():
     slots = int(os.environ.get("SERVE_SLOTS", "16"))
     pipeline = int(os.environ.get("SERVE_PIPELINE", "4"))
     eng = ServingEngine(params, cfg, max_slots=slots,
+        lookahead=os.environ.get("SERVE_LOOKAHEAD", "1") == "1",
                         prefill_buckets=(64, 256),
                         prefill_fn=gpt2_prefill,
                         decode_fn=gpt2_decode_step,
