@@ -121,8 +121,15 @@ def quantize_weight(w, bits: int = 8, group_size: Optional[int] = None,
             group_size = din
             break
     if paired:
-        assert bits == 4 and din % 2 == 0 and \
-            (din // 2) % group_size == 0, "paired needs int4 even-split"
+        assert bits == 4 and din % 2 == 0, "paired needs int4 even din"
+        # the paired partition needs groups that tile each HALF; snap
+        # down (e.g. din=704: half=352, group 128 -> 32). Unsnappable
+        # shapes quantize non-paired (fall through below).
+        while group_size >= 32 and (din // 2) % group_size:
+            group_size //= 2
+        if (din // 2) % group_size:
+            paired = False
+    if paired:
         half = din // 2
         ngh = half // group_size
         # paired view: group c = rows [c*g,(c+1)*g) + the mirrored half
