@@ -145,6 +145,10 @@ def main():
         "gpt2_tune,serving_budget,serving_bench,paged_bench,longformer,"
         "wo_row,graph7b").split(",")
 
+    if "gate" in stages:
+        # re-run slot for the v3 gate if session A's attempt failed
+        import train_gate_lm2
+        run_stage("gate_v3", train_gate_lm2.main)
     if "gpt2_tune" in stages:
         import qmm_tune
         run_stage("gpt2_tune", qmm_tune.main, QMM_MODEL="gpt2",
