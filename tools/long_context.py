@@ -67,25 +67,30 @@ def emit(key, data):
         json.dump(RESULTS, f, indent=1)
 
 
-def chained_step_ms(step_fn, carry_init, n_lo=1, n_hi=7, reps=3):
-    """step_fn(carry) -> carry with a fetchable leaf; fori-chained
-    two-point timing in ONE executable."""
+def chained_step_ms(step_fn, carry_init, big=(), n_lo=1, n_hi=7,
+                    reps=3):
+    """step_fn(carry, *big) -> carry with a fetchable leaf; fori-chained
+    two-point timing in ONE executable. `big` holds the large invariant
+    operands (params, caches) which MUST enter as jit ARGUMENTS —
+    closure-captured multi-GB arrays become HLO constants and stall the
+    remote compiler (round-4 lesson, memory: jit-closure-constants)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    def f(n, carry):
-        return jax.lax.fori_loop(0, n, lambda i, c: step_fn(c), carry)
+    def f(n, carry, *big_):
+        return jax.lax.fori_loop(
+            0, n, lambda i, c: step_fn(c, *big_), carry)
 
     jf = jax.jit(f)
-    out = jf(jnp.int32(1), carry_init)
+    out = jf(jnp.int32(1), carry_init, *big)
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:4])  # compile
 
     def run_n(n):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            o = jf(jnp.int32(n), carry_init)
+            o = jf(jnp.int32(n), carry_init, *big)
             np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:4])
             best = min(best, time.perf_counter() - t0)
         return best
@@ -103,15 +108,15 @@ def decode_row(params, cfg, ctx: int, kv_quant: bool, batch: int = 1):
     tok = jnp.zeros((batch,), jnp.int32)
     pos = jnp.full((batch,), ctx - 64, jnp.int32)
 
-    def step(carry):
+    def step(carry, p_):
         t, p, c = carry
-        logits, c = llama_decode_step(params, cfg, t, p, c)
+        logits, c = llama_decode_step(p_, cfg, t, p, c)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # hold depth: re-decode around ctx-64 so every trip reads the
         # same live prefix (p+1 would walk past the cache end)
         return (nxt, p, c)
 
-    ms = chained_step_ms(step, (tok, pos, cache))
+    ms = chained_step_ms(step, (tok, pos, cache), big=(params,))
     del cache
     gc.collect()
     kv_bytes_live = (cfg.n_layers * 2 * batch * cfg.n_kv_heads
@@ -140,24 +145,26 @@ def attn_row(cfg, ctx: int, kv_quant: bool, batch: int = 1):
         vs = jax.random.uniform(key, (B, Hkv, ctx), jnp.float32, 0.001,
                                 0.02)
 
-        def step(carry):
+        def step(carry, kc_, vc_, ks_, vs_):
             qq, acc = carry
-            o = flash_decode_q8(qq, kc, vc, ks, vs, pos)
+            o = flash_decode_q8(qq, kc_, vc_, ks_, vs_, pos)
             return (qq + (acc * 1e-30).astype(qq.dtype),
                     jnp.sum(o[..., :4]).astype(jnp.float32))
         bytes_live = 2 * B * Hkv * (ctx - 64) * D
+        big = (kc, vc, ks, vs)
     else:
         kc = jax.random.normal(key, (B, Hkv, ctx, D), jnp.bfloat16)
         vc = jax.random.normal(key, (B, Hkv, ctx, D), jnp.bfloat16)
 
-        def step(carry):
+        def step(carry, kc_, vc_):
             qq, acc = carry
-            o = flash_decode(qq, kc, vc, pos)
+            o = flash_decode(qq, kc_, vc_, pos)
             return (qq + (acc * 1e-30).astype(qq.dtype),
                     jnp.sum(o[..., :4]).astype(jnp.float32))
         bytes_live = 2 * B * Hkv * (ctx - 64) * D * 2
+        big = (kc, vc)
 
-    ms = chained_step_ms(step, (q, jnp.float32(0)), n_hi=9)
+    ms = chained_step_ms(step, (q, jnp.float32(0)), big=big, n_hi=9)
     del kc, vc
     gc.collect()
     return {"ms": round(ms, 3),
@@ -187,22 +194,25 @@ def paged_row(cfg, ctx: int, kv_quant: bool, batch: int = 1,
         vsp = jax.random.uniform(key, (n_pages, Hkv, page), jnp.float32,
                                  0.001, 0.02)
 
-        def step(carry):
+        def step(carry, kp_, vp_, ksp_, vsp_):
             qq, acc = carry
-            o = paged_flash_decode_q8(qq, kp, vp, ksp, vsp, table, pos)
+            o = paged_flash_decode_q8(qq, kp_, vp_, ksp_, vsp_, table,
+                                      pos)
             return (qq + (acc * 1e-30).astype(qq.dtype),
                     jnp.sum(o[..., :4]).astype(jnp.float32))
+        big = (kp, vp, ksp, vsp)
     else:
         kp = jax.random.normal(key, (n_pages, Hkv, page, D), jnp.bfloat16)
         vp = jax.random.normal(key, (n_pages, Hkv, page, D), jnp.bfloat16)
 
-        def step(carry):
+        def step(carry, kp_, vp_):
             qq, acc = carry
-            o = paged_flash_decode(qq, kp, vp, table, pos)
+            o = paged_flash_decode(qq, kp_, vp_, table, pos)
             return (qq + (acc * 1e-30).astype(qq.dtype),
                     jnp.sum(o[..., :4]).astype(jnp.float32))
+        big = (kp, vp)
 
-    ms = chained_step_ms(step, (q, jnp.float32(0)), n_hi=9)
+    ms = chained_step_ms(step, (q, jnp.float32(0)), big=big, n_hi=9)
     del kp, vp
     gc.collect()
     return {"ms": round(ms, 3), "page": page}

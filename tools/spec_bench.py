@@ -117,23 +117,26 @@ def mechanism(params, cfg, cache_fn, chunk: int, Ks=(2, 4, 8)):
     launch_rt = measure_launch_rt_ms()
     emit("mechanism.launch_rt_ms", round(launch_rt, 2))
 
-    # fused-decode baseline: per-step device time
+    # fused-decode baseline: per-step device time. params enter as a
+    # JIT ARGUMENT — closure-captured multi-GB trees become HLO
+    # constants and stall the remote compiler (round-4 lesson,
+    # CLAUDE.md memory: jit-closure-constants)
     def build_decode():
         cache = cache_fn(B)
         tok = jnp.zeros((B,), jnp.int32)
         pos = jnp.full((B,), 64, jnp.int32)
 
-        def f(n, tok, pos, cache):
+        def f(n, p_, tok, pos, cache):
             def body(i, carry):
                 t, p, c = carry
-                logits, c = llama_decode_step(params, cfg, t, p, c)
+                logits, c = llama_decode_step(p_, cfg, t, p, c)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 p = jnp.where(p >= cfg.max_seq - 2,
                               jnp.full_like(p, 64), p + 1)
                 return (nxt, p, c)
             t, p, c = jax.lax.fori_loop(0, n, body, (tok, pos, cache))
             return t
-        return jax.jit(f), (tok, pos, cache)
+        return jax.jit(f), (params, tok, pos, cache)
 
     t_step = chained_ms(build_decode, n_lo=2, n_hi=18)
     emit("mechanism.decode_step_device_ms", round(t_step, 3))
@@ -145,15 +148,15 @@ def mechanism(params, cfg, cache_fn, chunk: int, Ks=(2, 4, 8)):
             toks = jnp.zeros((B, K), jnp.int32)
             pos = jnp.full((B,), 64, jnp.int32)
 
-            def f(n, toks, pos, cache):
+            def f(n, p_, toks, pos, cache):
                 def body(i, carry):
                     t, c = carry
-                    logits, c = llama_verify_step(params, cfg, t, pos, c)
+                    logits, c = llama_verify_step(p_, cfg, t, pos, c)
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     return (nxt, c)
                 t, c = jax.lax.fori_loop(0, n, body, (toks, cache))
                 return t
-            return jax.jit(f), (toks, pos, cache)
+            return jax.jit(f), (params, toks, pos, cache)
 
         t_verify = chained_ms(build_verify, n_lo=1, n_hi=9)
         base_tok_s = 1e3 / (t_step + launch_rt / max(chunk, 1))
