@@ -142,8 +142,8 @@ def main():
 
     stages = os.environ.get(
         "S11_STAGES",
-        "gpt2_tune,serving_budget,serving_bench,paged_bench,longformer,"
-        "wo_row,graph7b").split(",")
+        "gpt2_tune,serving_budget,serving_bench,serving_bench_nolook,"
+        "paged_bench,longformer,wo_row,graph7b").split(",")
 
     if "gate" in stages:
         # re-run slot for the v3 gate if session A's attempt failed
@@ -159,6 +159,10 @@ def main():
     if "serving_bench" in stages:
         import serving_bench
         run_stage("serving_bench", serving_bench.main)
+    if "serving_bench_nolook" in stages:
+        import serving_bench
+        run_stage("serving_bench_nolook", serving_bench.main,
+                  SERVE_LOOKAHEAD="0")
     if "paged_bench" in stages:
         import paged_serving_bench
         run_stage("paged_bench", paged_serving_bench.main)
