@@ -272,6 +272,14 @@ def wo_matmul(x: jax.Array, q: QuantizedLinear, use_pallas: str = "auto"
     """
     if use_pallas == "auto":
         use_pallas = is_tpu()
+    import os
+    if os.environ.get("INFINITPU_QMM_VARIANT") == "w4a8":
+        # the W4A8 variant changes the MATH (per-token int8 activation
+        # quantization), not just the kernel — it must apply regardless
+        # of shape/platform so accuracy gates certify what the chip
+        # runs; quant_matmul falls back to the w4a8 oracle off-TPU
+        from infinitensor_tpu.kernels.quant_matmul import quant_matmul
+        return quant_matmul(x, q)
     if use_pallas and x.shape[-1] >= 512:
         from infinitensor_tpu.kernels.quant_matmul import quant_matmul
         return quant_matmul(x, q)
