@@ -68,7 +68,7 @@ def emit(key, data):
 
 
 def chained_step_ms(step_fn, carry_init, big=(), n_lo=1, n_hi=7,
-                    reps=3):
+                    reps=3, k_inner=1):
     """step_fn(carry, *big) -> carry with a fetchable leaf; fori-chained
     two-point timing in ONE executable. `big` holds the large invariant
     operands (params, caches) which MUST enter as jit ARGUMENTS —
@@ -79,8 +79,11 @@ def chained_step_ms(step_fn, carry_init, big=(), n_lo=1, n_hi=7,
     import numpy as np
 
     def f(n, carry, *big_):
-        return jax.lax.fori_loop(
-            0, n, lambda i, c: step_fn(c, *big_), carry)
+        def trip(i, c):
+            for _ in range(k_inner):
+                c = step_fn(c, *big_)
+            return c
+        return jax.lax.fori_loop(0, n, trip, carry)
 
     jf = jax.jit(f)
     out = jf(jnp.int32(1), carry_init, *big)
@@ -95,7 +98,7 @@ def chained_step_ms(step_fn, carry_init, big=(), n_lo=1, n_hi=7,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return 1e3 * (run_n(n_hi) - run_n(n_lo)) / (n_hi - n_lo)
+    return 1e3 * (run_n(n_hi) - run_n(n_lo)) / ((n_hi - n_lo) * k_inner)
 
 
 def decode_row(params, cfg, ctx: int, kv_quant: bool, batch: int = 1):
@@ -104,20 +107,43 @@ def decode_row(params, cfg, ctx: int, kv_quant: bool, batch: int = 1):
     from infinitensor_tpu.models.llama import (
         init_kv_cache, llama_decode_step)
 
-    cache = init_kv_cache(cfg, batch, max_seq=ctx, kv_quant=kv_quant)
+    import jax
+    import numpy as np
     tok = jnp.zeros((batch,), jnp.int32)
     pos = jnp.full((batch,), ctx - 64, jnp.int32)
 
-    def step(carry, p_):
-        t, p, c = carry
-        logits, c = llama_decode_step(p_, cfg, t, p, c)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        # hold depth: re-decode around ctx-64 so every trip reads the
-        # same live prefix (p+1 would walk past the cache end)
-        return (nxt, p, c)
+    # the cache is DONATED (at 16k int8 it is 4.3 GB; without donation
+    # XLA holds input + output copies and the 8k-bf16/16k rows OOM) —
+    # so it is re-created per timed run
+    def f(n, p_, t, ps, c):
+        def body(i, carry):
+            t_, p2, c_ = carry
+            logits, c_ = llama_decode_step(p_, cfg, t_, p2, c_)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # hold depth: re-decode around ctx-64 so every trip reads
+            # the same live prefix
+            return (nxt, p2, c_)
+        t_, _, c = jax.lax.fori_loop(0, n, body, (t, ps, c))
+        return t_, c
 
-    ms = chained_step_ms(step, (tok, pos, cache), big=(params,))
-    del cache
+    jf = jax.jit(f, donate_argnums=(4,))
+
+    def run_n(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            cache = init_kv_cache(cfg, batch, max_seq=ctx,
+                                  kv_quant=kv_quant)
+            cache = jax.block_until_ready(cache)
+            t0 = time.perf_counter()
+            o, c2 = jf(jnp.int32(n), params, tok, pos, cache)
+            np.asarray(o)
+            best = min(best, time.perf_counter() - t0)
+            del c2
+            gc.collect()
+        return best
+
+    run_n(1, reps=1)                      # compile
+    ms = 1e3 * (run_n(7) - run_n(1)) / 6
     gc.collect()
     kv_bytes_live = (cfg.n_layers * 2 * batch * cfg.n_kv_heads
                      * (ctx - 64) * cfg.head_dim
@@ -164,7 +190,8 @@ def attn_row(cfg, ctx: int, kv_quant: bool, batch: int = 1):
         bytes_live = 2 * B * Hkv * (ctx - 64) * D * 2
         big = (kc, vc)
 
-    ms = chained_step_ms(step, (q, jnp.float32(0)), big=big, n_hi=9)
+    ms = chained_step_ms(step, (q, jnp.float32(0)), big=big, n_hi=9,
+                         k_inner=32)
     del kc, vc
     gc.collect()
     return {"ms": round(ms, 3),
@@ -212,7 +239,8 @@ def paged_row(cfg, ctx: int, kv_quant: bool, batch: int = 1,
                     jnp.sum(o[..., :4]).astype(jnp.float32))
         big = (kp, vp)
 
-    ms = chained_step_ms(step, (q, jnp.float32(0)), big=big, n_hi=9)
+    ms = chained_step_ms(step, (q, jnp.float32(0)), big=big, n_hi=9,
+                         k_inner=32)
     del kp, vp
     gc.collect()
     return {"ms": round(ms, 3), "page": page}

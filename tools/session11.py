@@ -143,7 +143,7 @@ def main():
     stages = os.environ.get(
         "S11_STAGES",
         "gpt2_tune,serving_budget,serving_bench,serving_bench_nolook,"
-        "paged_bench,longformer,wo_row,graph7b").split(",")
+        "paged_bench,longformer,wo_row,graph7b,longctx_fix").split(",")
 
     if "gate" in stages:
         # re-run slot for the v3 gate if session A's attempt failed
@@ -175,6 +175,13 @@ def main():
     if "graph7b" in stages:
         import artifact_r4
         run_stage("graph7b", artifact_r4.s_graph7b)
+    if "longctx_fix" in stages:
+        # re-run with k_inner=32 attention probes + donated decode
+        # caches (the first pass's attn rows were sub-noise-floor and
+        # the 8k-bf16/16k decode rows OOMed without donation); LAST —
+        # highest OOM risk in the session
+        import long_context
+        run_stage("longctx_fix", long_context.main)
     print(json.dumps({"metric": "session11", "status": STATUS}))
 
 
