@@ -35,7 +35,9 @@ def main():
     kv_int8 = os.environ.get("SERVE_KV", "none") == "int8"
     t0 = time.time()
     params = init_gpt2_params(cfg, jax.random.PRNGKey(0))
-    params = quantize_gpt2_params(params, bits=8, group_size=128)
+    params = quantize_gpt2_params(
+        params, bits=8, group_size=128,
+        quant_lm_head=os.environ.get("GPT2_QLMHEAD", "1") == "1")
     # host fetch, not block_until_ready (early-return hazard, CLAUDE.md)
     np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:8])
     build_s = time.time() - t0

@@ -203,7 +203,8 @@ def main():
                          vocab_size=1024, max_seq=128)
     params = quantize_gpt2_params(
         init_gpt2_params(cfg, jax.random.PRNGKey(0)), bits=8,
-        group_size=128)
+        group_size=128,
+        quant_lm_head=os.environ.get("GPT2_QLMHEAD", "1") == "1")
     np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[:4])
 
     chunk = int(os.environ.get("SERVE_CHUNK", "32"))
