@@ -644,6 +644,16 @@ class ServingEngine:
         lag = self._inflight[1] if self._inflight is not None else 0
         can_dispatch = int(self.pos[active].max()) + lag + span_new + 1 \
             < self.cfg.max_seq
+        if can_dispatch and self._inflight is not None:
+            # don't dispatch a group nobody can use: if the in-flight
+            # group already covers every active request's remaining
+            # budget, the optimistic group would be pure waste (one
+            # whole garbage launch at the tail of every wave)
+            remaining = max(self.slots[s].max_new_tokens -
+                            len(self.slots[s].generated)
+                            for s in active)
+            if remaining <= lag:
+                can_dispatch = False
         new_inflight = None
         if can_dispatch:
             if self._dev_state is not None:
