@@ -297,6 +297,97 @@ def _kernel_group_norm_w4a8(x_ref, nw_ref, qw_ref, sc_ref, o_ref, *,
                      bits=bits)
 
 
+def _kernel_group_ln(x_ref, g_ref, b_ref, qw_ref, sc_ref, bias_ref,
+                     o_ref, *, bits, group_size, eps):
+    """LayerNorm (mean-subtracted, gamma/beta) + group-dot matmul +
+    output bias, one kernel. The GPT-2 decode block's pre-matmul
+    pattern: at B=16 the 345M decode step is per-op-LATENCY-bound
+    (docs/SERVING_BUDGET.json round-5: 6.8 ms/step vs 0.9 ms of HBM),
+    so removing the standalone LN (and the fusion break a pallas_call
+    causes on both sides) buys more than any stream optimization."""
+    x32 = x_ref[:, :].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+          * g_ref[:, :].astype(jnp.float32)
+          + b_ref[:, :].astype(jnp.float32)).astype(jnp.bfloat16)
+    _group_dots(xn, qw_ref, sc_ref, o_ref, bits=bits,
+                group_size=group_size)
+    o_ref[:, :] = (o_ref[:, :].astype(jnp.float32)
+                   + bias_ref[:, :].astype(jnp.float32)
+                   ).astype(o_ref.dtype)
+
+
+def quant_matmul_ln(x, gamma, beta, q: QuantizedLinear, bias=None,
+                    eps: float = 1e-5, block_out: int = 0,
+                    interpret: bool = False):
+    """LayerNorm(x; gamma, beta) @ q + bias, fused (GPT-2 decode
+    pattern). Falls back to the exact composition off-TPU or for
+    shapes the kernel rejects."""
+    def fallback():
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+              * gamma.astype(jnp.float32)
+              + beta.astype(jnp.float32)).astype(x.dtype)
+        out = quant_matmul(xn, q, block_out=block_out,
+                           interpret=interpret)
+        return out if bias is None else out + bias
+
+    if not use_pallas(interpret):
+        return fallback()
+    interpret = interpret or (pallas_interpret() and not is_tpu())
+    import jax.experimental.pallas as pl
+
+    *lead, din = x.shape
+    dout = q.out_physical
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, din)
+    pad_rows = max(8, rows)
+    if pad_rows != rows:
+        x2 = jnp.pad(x2, ((0, pad_rows - rows), (0, 0)))
+    pack = 1 if q.bits == 8 else 2
+    tuned = _tuned(din, q.out_features, q.bits)
+    if tuned and not block_out:
+        block_out = int(tuned.get("bn", 0))
+    if block_out and dout % block_out:
+        block_out = 0
+    bn = block_out or _pick_bn(dout, din, q.bits)
+    ng = q.scales.shape[0]
+    group_ok = (din // pack) % q.group_size == 0 and \
+        q.group_size % 128 == 0
+    if (not group_ok or bn == 0 or pad_rows > 256
+            or (q.bits == 4 and (q.paired or ng % 2))
+            or x.dtype != jnp.bfloat16):
+        return fallback()
+
+    b2 = (jnp.zeros((1, dout), jnp.float32) if bias is None
+          else jnp.pad(bias.astype(jnp.float32).reshape(1, -1),
+                       ((0, 0), (0, dout - bias.shape[-1]))))
+    out = pl.pallas_call(
+        functools.partial(_kernel_group_ln, bits=q.bits,
+                          group_size=q.group_size, eps=eps),
+        grid=(dout // bn,),
+        in_specs=[
+            pl.BlockSpec((pad_rows, din), lambda j: (0, 0)),
+            pl.BlockSpec((1, din), lambda j: (0, 0)),
+            pl.BlockSpec((1, din), lambda j: (0, 0)),
+            pl.BlockSpec((din // pack, bn), lambda j: (0, j)),
+            pl.BlockSpec((ng, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((pad_rows, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((pad_rows, dout), x.dtype),
+        interpret=interpret,
+    )(x2, gamma.reshape(1, din), beta.reshape(1, din), q.qweight,
+      q.scales, b2)
+    out = out[:rows, :q.out_features]
+    return out.reshape(*lead, q.out_features)
+
+
 def quant_matmul_w4a8_ref(x, q: QuantizedLinear):
     """jnp oracle for the W4A8 kernels: same per-row int8 activation
     quantization, weights dequantized in f32 (the kernel's grouped i32

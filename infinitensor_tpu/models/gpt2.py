@@ -208,9 +208,19 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
     x = jnp.take(params["wte"], token, axis=0)[:, None, :] + \
         jnp.take(params["wpe"], pos, axis=0)[:, None, :]
     new = {key: [] for key in cache}
+    from infinitensor_tpu.kernels.quant_matmul import quant_matmul_ln
     for i, layer in enumerate(params["layers"]):
-        h = _ln(x, layer["ln1_g"], layer["ln1_b"], cfg.layer_norm_eps)
-        qkv = _linear(h, layer["w_qkv"], layer["b_qkv"])
+        if isinstance(layer["w_qkv"], QuantizedLinear):
+            # fused LN+matmul+bias: the decode step at B<=32 is
+            # per-op-latency-bound (SERVING_BUDGET v2), each standalone
+            # LN/bias op costs like a kernel launch
+            qkv = quant_matmul_ln(x, layer["ln1_g"], layer["ln1_b"],
+                                  layer["w_qkv"], bias=layer["b_qkv"],
+                                  eps=cfg.layer_norm_eps)
+        else:
+            h = _ln(x, layer["ln1_g"], layer["ln1_b"],
+                    cfg.layer_norm_eps)
+            qkv = _linear(h, layer["w_qkv"], layer["b_qkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = jnp.swapaxes(q.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
         kh = jnp.swapaxes(k.reshape(B, 1, cfg.n_heads, cfg.head_dim), 1, 2)
@@ -228,9 +238,15 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
                 vh.astype(cache["v"][i].dtype), pos)
         att = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
         x = x + _linear(att, layer["w_o"], layer["b_o"])
-        h2 = _ln(x, layer["ln2_g"], layer["ln2_b"], cfg.layer_norm_eps)
-        u = jax.nn.gelu(_linear(h2, layer["w_up"], layer["b_up"])
-                        .astype(jnp.float32), approximate=True)
+        if isinstance(layer["w_up"], QuantizedLinear):
+            up = quant_matmul_ln(x, layer["ln2_g"], layer["ln2_b"],
+                                 layer["w_up"], bias=layer["b_up"],
+                                 eps=cfg.layer_norm_eps)
+        else:
+            h2 = _ln(x, layer["ln2_g"], layer["ln2_b"],
+                     cfg.layer_norm_eps)
+            up = _linear(h2, layer["w_up"], layer["b_up"])
+        u = jax.nn.gelu(up.astype(jnp.float32), approximate=True)
         x = x + _linear(u.astype(x.dtype), layer["w_down"], layer["b_down"])
         new["k"].append(ck)
         new["v"].append(cv)

@@ -322,3 +322,27 @@ def test_quant_matmul_slab_paired_interpret(rng):
                          np.float32)
     assert np.max(np.abs(fused - unfused)) / (np.max(np.abs(unfused))
                                               + 1e-9) < 0.02
+
+
+def test_quant_matmul_ln_interpret(rng):
+    """Fused LayerNorm + int8 matmul + bias (GPT-2 decode pattern) vs
+    the exact composition."""
+    import jax
+    import jax.numpy as jnp
+    din, dout, eps = 512, 256, 1e-5
+    w = rng.standard_normal((din, dout)).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w), bits=8, group_size=128)
+    x = jnp.asarray(rng.standard_normal((5, din)), jnp.bfloat16)
+    g = jnp.asarray(rng.uniform(0.5, 1.5, (din,)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((din,)) * 0.1, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((dout,)) * 0.1, jnp.bfloat16)
+    got = qm.quant_matmul_ln(x, g, b, q, bias=bias, eps=eps,
+                             interpret=True)
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32)
+          + b.astype(jnp.float32)).astype(jnp.bfloat16)
+    want = qm.quant_matmul(xn, q, interpret=True) + bias
+    f, u = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    assert np.max(np.abs(f - u)) / (np.max(np.abs(u)) + 1e-9) < 0.02
