@@ -208,9 +208,11 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
     x = jnp.take(params["wte"], token, axis=0)[:, None, :] + \
         jnp.take(params["wpe"], pos, axis=0)[:, None, :]
     new = {key: [] for key in cache}
+    import os
     from infinitensor_tpu.kernels.quant_matmul import quant_matmul_ln
+    fuse_ln = os.environ.get("INFINITPU_GPT2_FUSED_LN", "1") == "1"
     for i, layer in enumerate(params["layers"]):
-        if isinstance(layer["w_qkv"], QuantizedLinear):
+        if fuse_ln and isinstance(layer["w_qkv"], QuantizedLinear):
             # fused LN+matmul+bias: the decode step at B<=32 is
             # per-op-latency-bound (SERVING_BUDGET v2), each standalone
             # LN/bias op costs like a kernel launch
@@ -238,7 +240,7 @@ def gpt2_decode_step(params, cfg: GPT2Config, token, pos, cache):
                 vh.astype(cache["v"][i].dtype), pos)
         att = jnp.swapaxes(out, 1, 2).reshape(B, 1, cfg.dim)
         x = x + _linear(att, layer["w_o"], layer["b_o"])
-        if isinstance(layer["w_up"], QuantizedLinear):
+        if fuse_ln and isinstance(layer["w_up"], QuantizedLinear):
             up = quant_matmul_ln(x, layer["ln2_g"], layer["ln2_b"],
                                  layer["w_up"], bias=layer["b_up"],
                                  eps=cfg.layer_norm_eps)
