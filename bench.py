@@ -239,15 +239,24 @@ def run_serving_bench():
     """Emit the BASELINE 'GPT-2 345M INT8 continuous batching' line
     (tools/serving_bench.py) before the headline; failures must never
     sink the headline measurement."""
-    try:
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tools"))
-        import serving_bench
-        serving_bench.main()
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({
-            "metric": "gpt2-345m int8 continuous batching tokens/s",
-            "error": repr(e)[:300]}), file=sys.stderr)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import serving_bench
+    for attempt in (1, 2):
+        try:
+            serving_bench.main()
+            return
+        except Exception as e:  # noqa: BLE001
+            # remote-compile hiccups ("response body closed...") are
+            # transient; one in-process retry (same tunnel claim)
+            # recovers them without risking the headline
+            print(json.dumps({
+                "metric": "gpt2-345m int8 continuous batching tokens/s",
+                "attempt": attempt, "error": repr(e)[:300]}),
+                file=sys.stderr, flush=True)
+            if attempt == 2:
+                return
+            time.sleep(30)
 
 
 def main():
