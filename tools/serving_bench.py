@@ -50,11 +50,11 @@ def main():
     chunk = int(os.environ.get("SERVE_CHUNK", "64"))
     # 16 slots: 974.5 tok/s vs 896.8 at 8 (weights amortize further;
     # spread 3.7%) — the default serving geometry
-    # 48 slots measured best in the round-5 slot sweep (16/24/32/48 ->
-    # 1834/1940/1920/2100 tok/s): per-step device time grows slower
-    # than B (partial latency amortization), so wider batches win
-    # throughput at higher per-token latency
-    slots = int(os.environ.get("SERVE_SLOTS", "48"))
+    # slot sweep (round 5): 16/24/32/48/64/96 -> 1834/1940/1920/2100/
+    # 2130/2008 tok/s. Per-step device time grows sublinearly in B
+    # (latency-bound op floor amortizes) until KV reads dominate past
+    # ~64; 64 is the single-chip throughput point, 16 the latency point
+    slots = int(os.environ.get("SERVE_SLOTS", "64"))
     # pipeline_depth 4: dispatch up to 4 fused chunks before fetching
     # tokens — overlaps the ~27 ms tunnel launch with on-device compute
     pipeline = int(os.environ.get("SERVE_PIPELINE", "2"))
