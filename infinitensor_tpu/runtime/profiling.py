@@ -41,7 +41,14 @@ def timeit(fn: Callable, *args, warmup: int = 2, rounds: int = 10) -> float:
 
     t1 = region(1)
     tn = region(rounds)
-    return max((tn - t1) / (rounds - 1), 0.0) * 1e3
+    est = (tn - t1) / (rounds - 1)
+    if est <= 0.0:
+        # noise dominated the two-point pair (t1 caught a scheduling
+        # stall — happens on a loaded host): fall back to the
+        # launch-inclusive per-call mean, a strict upper bound that is
+        # always positive, instead of reporting an impossible 0
+        est = tn / rounds
+    return est * 1e3
 
 
 @contextlib.contextmanager

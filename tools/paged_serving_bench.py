@@ -32,7 +32,10 @@ def main():
                       n_heads=dim // 128, n_kv_heads=max(dim // 512, 1),
                       intermediate=int(dim * 2.6875) // 128 * 128,
                       max_seq=1024)
-    slots = int(os.environ.get("PAGED_SLOTS", "8"))
+    # 32 slots: session13 slot sweep 8/16/24/32 = 1420/1907/2123/2306
+    # tok/s (per-op decode latency amortizes across rows, same lever as
+    # the dense engine's 64-slot default; docs/BENCH_NOTES.md)
+    slots = int(os.environ.get("PAGED_SLOTS", "32"))
     page = int(os.environ.get("PAGED_PAGE_SIZE", "64"))
     n_pages = int(os.environ.get("PAGED_PAGES",
                                  str(slots * cfg.max_seq // page // 2)))
@@ -60,7 +63,10 @@ def main():
     warmup_s = time.time() - t0
 
     rng = np.random.default_rng(0)
-    n_req = 24
+    # keep every slot busy for ~3 generations at any slot count (the
+    # GPT-2 slot sweep used 3*slots; 24 preserves the historical 8-slot
+    # workload byte-for-byte)
+    n_req = int(os.environ.get("PAGED_NREQ", str(max(24, 3 * slots))))
     reqs = [eng.submit(list(rng.integers(1, 32000, int(n))),
                        max_new_tokens=64)
             for n in rng.integers(16, 250, n_req)]
