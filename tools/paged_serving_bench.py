@@ -32,10 +32,11 @@ def main():
                       n_heads=dim // 128, n_kv_heads=max(dim // 512, 1),
                       intermediate=int(dim * 2.6875) // 128 * 128,
                       max_seq=1024)
-    # 32 slots: session13 slot sweep 8/16/24/32 = 1420/1907/2123/2306
-    # tok/s (per-op decode latency amortizes across rows, same lever as
-    # the dense engine's 64-slot default; docs/BENCH_NOTES.md)
-    slots = int(os.environ.get("PAGED_SLOTS", "32"))
+    # 64 slots: session13 slot sweep 8/16/24/32/48/64 = 1420/1907/2123/
+    # 2306/2506/2578 tok/s (per-op decode latency amortizes across rows,
+    # same lever as the dense engine's 64-slot default; curve flattens
+    # at 64 — +2.8% over 48; docs/BENCH_NOTES.md)
+    slots = int(os.environ.get("PAGED_SLOTS", "64"))
     page = int(os.environ.get("PAGED_PAGE_SIZE", "64"))
     n_pages = int(os.environ.get("PAGED_PAGES",
                                  str(slots * cfg.max_seq // page // 2)))
